@@ -1,0 +1,34 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so the
+multi-chip sharding paths are exercised without TPU hardware (SURVEY §4)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from event_representation_study_tpu.events import generate_fake_events  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def gen1_shape():
+    return 240, 304  # H, W of the Gen1 sensor
+
+
+@pytest.fixture(
+    scope="session",
+    params=[
+        ("dense", 6000, 7),
+        ("sparse", 800, 11),
+        ("tiny", 64, 13),
+    ],
+    ids=lambda p: p[0],
+)
+def fake_events(request):
+    _, n, seed = request.param
+    return generate_fake_events(n, height=240, width=304, duration_us=500_000, seed=seed)
