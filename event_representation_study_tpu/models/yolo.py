@@ -1,0 +1,134 @@
+"""Detector assembly — the TPU-native equivalent of
+ev-YOLOv6/yolov6/models/yolo.py.
+
+``build_model(cfg, num_classes, num_channels)`` resolves backbone/neck/head
+by *registry name* (replacing the reference's ``eval()`` of config strings,
+yolo.py:114-120) and returns a Flax module whose ``__call__`` runs
+[backbone -> neck -> head]; train mode returns (featmaps, cls_scores,
+reg_distri), eval mode returns decoded (B, A, 5+nc) like the reference
+(yolo.py:63-77).
+
+The reference's config name "SwinTransformerV2" maps to
+:class:`~.backbones.CSPBackboneP6` — the class is a convolutional CSP
+network despite its name (swin_transformer_v2.py:1232).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .backbones import CSPBackboneP6, EfficientRep, EfficientRep6
+from .heads import EffiDeHead
+from .necks import CSPRepBiFPANNeck_P6
+
+BACKBONES = {
+    "SwinTransformerV2": CSPBackboneP6,  # reference alias (see module docstring)
+    "CSPBackboneP6": CSPBackboneP6,
+    "EfficientRep": EfficientRep,
+    "EfficientRep6": EfficientRep6,
+}
+NECKS = {
+    "CSPRepBiFPANNeck_P6": CSPRepBiFPANNeck_P6,
+}
+
+
+def _scale(v, multiple, divisor: int = 8):
+    return math.ceil(v * multiple / divisor) * divisor
+
+
+class Detector(nn.Module):
+    """backbone + neck + head (yolo.py:19-77)."""
+
+    backbone_name: str
+    neck_name: str
+    channels_list: Sequence[int]  # 12 entries: backbone 6 + neck 6
+    num_repeats: Sequence[int]  # 12 entries
+    num_classes: int
+    head_in_channels: Sequence[int]
+    strides: Sequence[int] = (8, 16, 32, 64)
+    reg_max: int = 16
+    use_dfl: bool = True
+    csp_e: float = 0.5
+    basic_mode: str = "conv_silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        backbone_cls = BACKBONES[self.backbone_name]
+        if backbone_cls is CSPBackboneP6:
+            backbone = backbone_cls(
+                channels_list=self.channels_list[:6],
+                num_repeats=self.num_repeats[:6],
+                basic_mode=self.basic_mode,
+                csp_e=self.csp_e,
+                dtype=self.dtype,
+                name="backbone",
+            )
+        else:
+            backbone = backbone_cls(
+                channels_list=self.channels_list[:6],
+                num_repeats=self.num_repeats[:6],
+                dtype=self.dtype,
+                name="backbone",
+            )
+        feats = backbone(x, train)
+        neck = NECKS[self.neck_name](
+            channels_list=self.channels_list,
+            num_repeats=self.num_repeats,
+            basic_mode=self.basic_mode,
+            csp_e=self.csp_e,
+            dtype=self.dtype,
+            name="neck",
+        )
+        feats = neck(feats, train)
+        head = EffiDeHead(
+            num_classes=self.num_classes,
+            in_channels=self.head_in_channels,
+            strides=self.strides,
+            reg_max=self.reg_max,
+            use_dfl=self.use_dfl,
+            dtype=self.dtype,
+            name="head",
+        )
+        return head(feats, train)
+
+
+def build_model(
+    cfg: Dict,
+    num_classes: int,
+    num_channels: int = 12,
+    dtype: Any = jnp.float32,
+) -> Detector:
+    """Build from an experiment-config dict (utils/config.py surface;
+    reference build path yolo.py:91-222). ``cfg['model']`` must carry
+    backbone/neck/head sub-dicts like configs/swinv2_yolov6l6_finetune.py."""
+    m = cfg["model"]
+    depth_mul = m.get("depth_multiple", 1.0)
+    width_mul = m.get("width_multiple", 1.0)
+    bb, nk, hd = m["backbone"], m["neck"], m["head"]
+    channels = [
+        _scale(c, width_mul) for c in list(bb["out_channels"]) + list(nk["out_channels"])
+    ]
+    repeats = [
+        (max(round(r * depth_mul), 1) if r > 1 else r)
+        for r in list(bb["num_repeats"]) + list(nk["num_repeats"])
+    ]
+    head_in = [_scale(c, width_mul) for c in hd["in_channels"]]
+    del num_channels  # input channels are inferred from the input tensor
+    return Detector(
+        backbone_name=bb["type"],
+        neck_name=nk["type"],
+        channels_list=channels,
+        num_repeats=repeats,
+        num_classes=num_classes,
+        head_in_channels=head_in,
+        strides=tuple(hd.get("strides", (8, 16, 32, 64))),
+        reg_max=hd.get("reg_max", 16),
+        use_dfl=hd.get("use_dfl", True),
+        csp_e=bb.get("csp_e", 0.5),
+        basic_mode=cfg.get("training_mode", "conv_silu"),
+        dtype=dtype,
+    )
