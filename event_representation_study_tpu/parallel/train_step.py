@@ -1,0 +1,146 @@
+"""jit/pjit training and eval steps.
+
+One fused XLA program per step: raw padded events -> on-device
+representation -> detector forward -> assigner + loss -> grad -> SGD update
+-> EMA. Under a Mesh the batch (and event blocks) are sharded over "data";
+parameters/optimizer state are replicated, so XLA's implicit gradient
+all-reduce replaces DDP (engine.py:694-699). There is no world-size loss
+scaling here — the reference multiplies loss by world_size only to undo
+DDP's gradient averaging (engine.py:261-262); with sharded-batch jit the
+gradient is already the true batch-mean.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..events.core import EventBlock
+from ..reps.dispatch import build_representation
+from ..train.ema import EMAState, ema_init, ema_update
+from ..train.losses import LossConfig, detection_loss
+from ..train.optim import SolverConfig, build_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EMAState
+    step: jnp.ndarray
+
+
+class Batch(NamedTuple):
+    """One device batch: either prebuilt images or raw event blocks."""
+
+    images: Optional[jnp.ndarray]  # (B, S, S, C) or None
+    events: Optional[EventBlock]  # batched blocks or None
+    gt_labels: jnp.ndarray  # (B, M)
+    gt_bboxes: jnp.ndarray  # (B, M, 4) xyxy pixels in model input scale
+    gt_mask: jnp.ndarray  # (B, M)
+
+
+def make_train_step(
+    model,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    representation: Optional[str] = None,
+    rep_hw: Tuple[int, int] = (240, 304),
+    img_size: int = 640,
+    donate: bool = True,
+) -> Callable:
+    """Build the fused train step. If ``representation`` is given, the step
+    consumes raw event blocks and builds the representation on device
+    (eliminating the reference's CPU worker path, gen1_2yolo.py:287-304)."""
+
+    def images_of(batch: Batch):
+        if batch.images is not None:
+            return batch.images
+        H, W = rep_hw
+        reps = jax.vmap(lambda b: build_representation(representation, b, H, W))(
+            batch.events
+        )
+        return (
+            jax.image.resize(
+                reps, (reps.shape[0], img_size, img_size, reps.shape[-1]), "linear"
+            )
+            / 255.0
+        )
+
+    def loss_fn(params, batch_stats, batch: Batch, epoch):
+        imgs = images_of(batch)
+        (feats, cls, reg), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs,
+            True,
+            mutable=["batch_stats"],
+        )
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        loss, parts = detection_loss(
+            (feats, cls, reg),
+            batch.gt_labels,
+            batch.gt_bboxes,
+            batch.gt_mask,
+            feat_shapes,
+            epoch,
+            loss_cfg,
+        )
+        return loss, (parts, updates["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch: Batch, epoch):
+        (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, epoch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(
+            state.ema, {"params": new_params, "batch_stats": new_bs}
+        )
+        new_state = TrainState(
+            new_params, new_bs, new_opt, new_ema, state.step + 1
+        )
+        parts = dict(parts, loss=loss)
+        return new_state, parts
+
+    return train_step
+
+
+def make_eval_step(model, representation: Optional[str] = None,
+                   rep_hw: Tuple[int, int] = (240, 304), img_size: int = 640):
+    def eval_step(variables, batch: Batch):
+        if batch.images is not None:
+            imgs = batch.images
+        else:
+            H, W = rep_hw
+            reps = jax.vmap(
+                lambda b: build_representation(representation, b, H, W)
+            )(batch.events)
+            imgs = (
+                jax.image.resize(
+                    reps, (reps.shape[0], img_size, img_size, reps.shape[-1]), "linear"
+                )
+                / 255.0
+            )
+        return model.apply(variables, imgs, False)
+
+    return jax.jit(eval_step)
+
+
+def init_train_state(model, tx, rng, example_images) -> TrainState:
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        rng, example_images
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    return TrainState(
+        params,
+        batch_stats,
+        opt_state,
+        ema_init({"params": params, "batch_stats": batch_stats}),
+        jnp.zeros((), jnp.int32),
+    )

