@@ -47,27 +47,33 @@ def main():
     # --- device path: batched fused kernel
     import jax.numpy as jnp
 
-    from event_representation_study_tpu.reps import build_representation
-
     batch = stack_blocks([from_structured(ev, N) for ev in events])
     batch = jax.device_put(batch)
 
+    from event_representation_study_tpu.reps import batched_representation
+
+    rep_fn = batched_representation("OptimizedRepresentation", H, W)
+
+    # Amortize the host<->device round trip (tens of ms through remote-device
+    # tunnels) over INNER_ITERS kernel invocations inside one jit; the final
+    # float() readback forces completion (block_until_ready does not
+    # synchronize through such tunnels).
+    INNER_ITERS = 10
+
     @jax.jit
     def fn(blocks):
-        out = jax.vmap(
-            lambda b: build_representation("OptimizedRepresentation", b, H, W)
-        )(blocks)
-        # scalar checksum: the float() readback below forces completion
-        # (block_until_ready alone does not synchronize through remote-device
-        # tunnels, which made early measurements meaningless)
-        return jnp.sum(out)
+        def body(acc, _):
+            return acc + jnp.sum(rep_fn(blocks)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=INNER_ITERS)
+        return acc
 
     float(fn(batch))  # compile + warm
-    iters = 5
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         checksum = float(fn(batch))
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * INNER_ITERS)
     assert np.isfinite(checksum)
     device_eps = B * N / dt
 

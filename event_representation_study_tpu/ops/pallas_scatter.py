@@ -1,0 +1,160 @@
+"""Fused multi-column segment reduction as a Pallas TPU kernel.
+
+Motivation (measured on TPU v5e, see bench.py history): XLA lowers
+scatter/segment ops to a serialized per-update loop — ~150M updates/s —
+making ERGO-12's ~30 segment reductions the bottleneck (~325 ms for a
+32x50k-event batch). Sorting the same batch costs only ~2 ms. This kernel
+exploits that: events are pre-sorted by pixel id, every TILE_S-pixel tile's
+events are then contiguous, and a (tile x events-chunk) one-hot matmul on
+the MXU accumulates ALL value columns of a tile in one shot.
+
+Pipeline per batch:
+1. XLA: sort (pixel_id, event order) once; gather all value columns into
+   sorted order; ``tile_offsets`` = searchsorted of tile bases.
+2. Pallas grid (B, num_tiles): each instance walks its event range in
+   aligned chunks of ``E_CHUNK``; builds a (E, TILE_S) one-hot via
+   iota-compare (VPU); accumulates sum-columns with ``V @ one_hot`` (MXU)
+   and max-columns with masked max (VPU). Stray events from neighboring
+   tiles inside an aligned chunk self-exclude via the id compare.
+3. XLA: elementwise channel combination (mean = sum/count, var = E[x^2] -
+   E[x]^2, ...), reshape to (H, W, C).
+
+Memory layout: value matrices are (K, N) — columns in sublanes, events in
+lanes — so VMEM blocks stay unpadded (a (N, K) layout pads K up to 128
+lanes, an 8x blowup that OOMs VMEM).
+
+Padding events carry segment id >= num_segments; they either fall past the
+last tile boundary or land in slots >= num_segments that are sliced off.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_S = 512  # pixels per tile
+E_CHUNK = 512  # events per inner chunk
+
+NEG_INF = -3.4e38
+
+
+def _kernel(offs_ref, seg_ref, vsum_ref, vmax_ref, out_sum_ref, out_max_ref):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    num_t = pl.num_programs(1)
+    start = offs_ref[b * (num_t + 1) + t]
+    end = offs_ref[b * (num_t + 1) + t + 1]
+
+    ks = vsum_ref.shape[1]
+    km = vmax_ref.shape[1]
+    tile_base = t * TILE_S
+
+    acc_sum = jnp.zeros((ks, TILE_S), jnp.float32)
+    acc_max = jnp.full((km, TILE_S), NEG_INF, jnp.float32)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (E_CHUNK, TILE_S), 1)
+    start_aligned = pl.multiple_of((start // E_CHUNK) * E_CHUNK, E_CHUNK)
+
+    def body(carry):
+        c, acc_sum, acc_max = carry
+        c = pl.multiple_of(c, E_CHUNK)  # re-assert alignment through the carry
+        seg = seg_ref[0, 0, pl.ds(c, E_CHUNK)]  # (E,)
+        vs = vsum_ref[0, :, pl.ds(c, E_CHUNK)]  # (Ks, E)
+        vm = vmax_ref[0, :, pl.ds(c, E_CHUNK)]  # (Km, E)
+        rel = seg.reshape(E_CHUNK, 1) - tile_base
+        onehot = rel == col_ids  # (E, TILE_S)
+        oh_f = onehot.astype(jnp.float32)
+        acc_sum = acc_sum + jax.lax.dot_general(
+            vs, oh_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows = []
+        for j in range(km):
+            vj = vm[j, :].reshape(E_CHUNK, 1)
+            masked = jnp.where(onehot, vj, NEG_INF)  # (E, TILE_S)
+            rows.append(jnp.max(masked, axis=0, keepdims=True))  # (1, TILE_S)
+        acc_max = jnp.maximum(acc_max, jnp.concatenate(rows, axis=0))
+        return c + E_CHUNK, acc_sum, acc_max
+
+    def cond(carry):
+        return carry[0] < end
+
+    _, acc_sum, acc_max = jax.lax.while_loop(
+        cond, body, (start_aligned, acc_sum, acc_max)
+    )
+    out_sum_ref[0, :, :] = acc_sum
+    out_max_ref[0, :, :] = acc_max
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "columns_fn", "interpret"))
+def fused_segment_reduce(
+    seg: jnp.ndarray,  # (B, N) int32, invalid >= num_segments
+    carry: Tuple[jnp.ndarray, ...],  # per-event (B, N) streams to sort along
+    columns_fn,  # (sorted_pos, *sorted_carry) -> (vs (B,Ks,N), vm (B,Km,N))
+    num_segments: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (sums (B, S, Ks), maxes (B, S, Km)); maxes are NEG_INF for
+    empty segments (callers decide the empty-bin fill).
+
+    Value columns are computed *after* the sort by ``columns_fn`` from the
+    sorted carry streams + positions: multi-operand ``lax.sort`` scales badly
+    past a handful of operands and permutation row-gathers are ~10x slower
+    than the sort, so only the raw per-event fields ride the sort.
+    """
+    B, N = seg.shape
+    num_tiles = (num_segments + TILE_S - 1) // TILE_S
+    s_pad = num_tiles * TILE_S
+
+    # 1. sort by (segment, position) -> stable within a pixel
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    sorted_ops = jax.lax.sort((seg, pos) + tuple(carry), num_keys=2, is_stable=False)
+    seg_s, pos_s = sorted_ops[0], sorted_ops[1]
+    vs_t, vm_t = columns_fn(pos_s, *sorted_ops[2:])  # (B, Ks, N), (B, Km, N)
+    ks = vs_t.shape[1]
+    km = vm_t.shape[1]
+
+    # pad the event axis so aligned in-kernel chunk reads never run off the end
+    n_pad = ((N + E_CHUNK - 1) // E_CHUNK) * E_CHUNK + E_CHUNK
+    pad = n_pad - N
+    seg_s = jnp.pad(seg_s, ((0, 0), (0, pad)), constant_values=num_segments)
+    vs_t = jnp.pad(vs_t, ((0, 0), (0, 0), (0, pad)))
+    vm_t = jnp.pad(vm_t, ((0, 0), (0, 0), (0, pad)), constant_values=NEG_INF)
+
+    # 2. per-tile event ranges
+    bases = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE_S
+    bases = bases.at[-1].set(num_segments)
+    offs = jax.vmap(lambda s: jnp.searchsorted(s, bases, side="left"))(seg_s)
+    offs = offs.astype(jnp.int32).reshape(-1)  # (B*(T+1),)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_pad), lambda b, t, offs: (b, 0, 0)),
+            pl.BlockSpec((1, ks, n_pad), lambda b, t, offs: (b, 0, 0)),
+            pl.BlockSpec((1, km, n_pad), lambda b, t, offs: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ks, TILE_S), lambda b, t, offs: (b, 0, t)),
+            pl.BlockSpec((1, km, TILE_S), lambda b, t, offs: (b, 0, t)),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, ks, s_pad), jnp.float32),
+        jax.ShapeDtypeStruct((B, km, s_pad), jnp.float32),
+    )
+    sums, maxes = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(offs, seg_s[:, None, :], vs_t, vm_t)
+    sums = jnp.swapaxes(sums, 1, 2)[:, :num_segments]
+    maxes = jnp.swapaxes(maxes, 1, 2)[:, :num_segments]
+    return sums, maxes

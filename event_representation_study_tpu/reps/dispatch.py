@@ -66,7 +66,24 @@ def _build_jit(name: str, block: EventBlock, height: int, width: int):
 
 
 def batched_representation(name: str, height: int, width: int) -> Callable:
-    """vmapped + jitted builder: batched EventBlock -> (B, H, W, C)."""
+    """Batched jitted builder: batched EventBlock -> (B, H, W, C).
+
+    MDES/ERGO-12 route through the fused Pallas sorted-tile kernel on TPU
+    (~75x the XLA scatter lowering, see ops/pallas_scatter.py); everything
+    else (and CPU) uses the vmapped segment-op path.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and (
+        "MixedDensityEventStack" in name
+        or name in ("OptimizedRepresentation", "ERGO12")
+    ):
+        from .fused_mdes import ergo12_fused_batched
+
+        @jax.jit
+        def fn(blocks: EventBlock):
+            return ergo12_fused_batched(blocks, height, width) * 255.0
+
+        return fn
 
     @jax.jit
     def fn(blocks: EventBlock):

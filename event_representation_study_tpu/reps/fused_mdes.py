@@ -1,0 +1,230 @@
+"""Batched MDES / ERGO-12 on the fused Pallas segment-reduce kernel.
+
+Compiles an arbitrary MixedDensityEventStack channel table
+(window, function, aggregation) into a deduplicated set of sum- and
+max-columns, reduces them all in ONE kernel launch
+(:func:`..ops.pallas_scatter.fused_segment_reduce`), then combines channels
+elementwise:
+
+- sum      -> 1 column
+- mean     -> value + count columns (mean of ones == nonempty indicator)
+- variance -> value + value^2 + count columns (E[x^2] - E[x]^2)
+- max      -> 1 max column (empty bins -> 0, torch_scatter convention)
+
+Window membership and polarity selectors are recomputed from sorted event
+positions/polarities (elementwise), so only (t, p) ride the sort. Semantics
+match :func:`.mdes.mixed_density_event_stack` exactly (same golden tests).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..events.core import EventBlock
+from ..ops.pallas_scatter import NEG_INF, fused_segment_reduce
+from .ergo12 import AGGREGATIONS as E12_AGGS
+from .ergo12 import FUNCTIONS as E12_FUNCS
+from .ergo12 import WINDOW_INDEXES as E12_WINDOWS
+
+
+def _plan(windows, funcs, aggs):
+    """Static column plan: list of unique (kind, func, window) columns and a
+    per-channel recipe."""
+    sum_cols, max_cols = [], []
+    recipes = []
+
+    def sum_col(key):
+        if key not in sum_cols:
+            sum_cols.append(key)
+        return sum_cols.index(key)
+
+    def max_col(key):
+        if key not in max_cols:
+            max_cols.append(key)
+        return max_cols.index(key)
+
+    for w, f, a in zip(windows, funcs, aggs):
+        w = int(w)
+        if a == "max":
+            recipes.append(("max", max_col((f, w))))
+        elif a == "sum":
+            recipes.append(("sum", sum_col(("val", f, w))))
+        elif a == "mean":
+            recipes.append(
+                ("mean", sum_col(("val", f, w)), sum_col(("cnt", f, w)))
+            )
+        elif a == "variance":
+            recipes.append(
+                (
+                    "var",
+                    sum_col(("val", f, w)),
+                    sum_col(("sq", f, w)),
+                    sum_col(("cnt", f, w)),
+                )
+            )
+        else:
+            raise ValueError(a)
+    return tuple(sum_cols), tuple(max_cols), tuple(recipes)
+
+
+def _mdes_columns(plan, num, t0, span, any_neg, stacking):
+    """Build the columns_fn closure for fused_segment_reduce."""
+    sum_cols, max_cols, _ = plan
+
+    def window_mask(w, pos, num, t_s):
+        num = num[:, None]
+        if stacking != "SBN":
+            raise NotImplementedError("fused path implements SBN stacking")
+        valid = pos < num
+        if w == 0:
+            return valid
+        if 1 <= w <= 3:
+            third = num // 3
+            return valid & (pos >= (w - 1) * third) & (pos < w * third)
+        start = num // 2
+        if w >= 5:
+            start = start + num // 4
+        if w >= 6:
+            start = start + num // 8
+        return valid & (pos >= start)
+
+    def selector(f, w, p, wmask):
+        if f in ("timestamp_pos", "count_pos"):
+            return wmask & (p == 1)
+        if f in ("timestamp_neg", "count_neg"):
+            neg = jnp.where(any_neg[:, w][:, None], p == -1, p == 0)
+            return wmask & neg
+        return wmask
+
+    def value(f, t_s, p):
+        if f.startswith("timestamp"):
+            return t_s
+        if f == "polarity":
+            return p.astype(jnp.float32)
+        return jnp.ones_like(t_s)
+
+    def columns_fn(pos_s, t_sorted, p_sorted):
+        t_s = (t_sorted - t0[:, None]) / jnp.maximum(span[:, None], 1.0)
+        p_i = p_sorted.astype(jnp.int32)
+        wmasks = {}
+
+        def wm(w):
+            if w not in wmasks:
+                wmasks[w] = window_mask(w, pos_s, num, t_s)
+            return wmasks[w]
+
+        vs = []
+        for kind, f, w in sum_cols:
+            m = selector(f, w, p_i, wm(w)).astype(jnp.float32)
+            if kind == "cnt":
+                vs.append(m)
+            elif kind == "val":
+                vs.append(value(f, t_s, p_i) * m)
+            else:  # sq
+                v = value(f, t_s, p_i)
+                vs.append(v * v * m)
+        vm = []
+        for f, w in max_cols:
+            m = selector(f, w, p_i, wm(w))
+            vm.append(jnp.where(m, value(f, t_s, p_i), NEG_INF))
+        if not vm:
+            vm = [jnp.full_like(t_s, NEG_INF)]
+        return jnp.stack(vs, axis=1), jnp.stack(vm, axis=1)
+
+    return columns_fn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "windows", "funcs", "aggs", "stacking", "interpret"),
+)
+def mdes_fused_batched(
+    blocks: EventBlock,  # batched (B, N) leaves
+    height: int,
+    width: int,
+    windows: Tuple[int, ...],
+    funcs: Tuple[str, ...],
+    aggs: Tuple[str, ...],
+    stacking: str = "SBN",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, H, W, C) float32, one fused kernel launch for all channels."""
+    B, N = blocks.x.shape
+    S = height * width
+    num = blocks.num.astype(jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    valid = pos < num[:, None]
+    seg = jnp.where(
+        valid, blocks.y.astype(jnp.int32) * width + blocks.x.astype(jnp.int32), S
+    )
+
+    t = blocks.t.astype(jnp.float32)
+    bidx = jnp.arange(B)
+    t0 = t[bidx, jnp.zeros_like(bidx)]
+    t_last = t[bidx, jnp.maximum(num - 1, 0)]
+    span = t_last - t0
+    span_ok = span > 0
+
+    # per-(sample, window) "has negative events" for the p==0 fallback
+    # (operations.py:59-61); computed pre-sort on original positions
+    plan = _plan(windows, funcs, aggs)
+    p_i = blocks.p.astype(jnp.int32)
+
+    def unsorted_window_mask(w):
+        numc = num[:, None]
+        if w == 0:
+            return valid
+        if 1 <= w <= 3:
+            third = numc // 3
+            return valid & (pos >= (w - 1) * third) & (pos < w * third)
+        start = numc // 2
+        if w >= 5:
+            start = start + numc // 4
+        if w >= 6:
+            start = start + numc // 8
+        return valid & (pos >= start)
+
+    any_neg = jnp.stack(
+        [jnp.any((p_i == -1) & unsorted_window_mask(w), axis=1) for w in range(7)],
+        axis=1,
+    )  # (B, 7)
+
+    columns_fn = _mdes_columns(plan, num, t0, span, any_neg, stacking)
+    sums, maxes = fused_segment_reduce(
+        seg,
+        (t, p_i.astype(jnp.float32)),
+        columns_fn,
+        S,
+        interpret=interpret,
+    )  # (B, S, Ks), (B, S, Km)
+
+    sum_cols, max_cols, recipes = plan
+    channels = []
+    for r in recipes:
+        if r[0] == "sum":
+            ch = sums[..., r[1]]
+        elif r[0] == "mean":
+            ch = sums[..., r[1]] / jnp.maximum(sums[..., r[2]], 1.0)
+        elif r[0] == "var":
+            cnt = jnp.maximum(sums[..., r[3]], 1.0)
+            m = sums[..., r[1]] / cnt
+            m2 = sums[..., r[2]] / cnt
+            ch = m2 - m * m
+        else:  # max
+            ch = jnp.where(maxes[..., r[1]] <= NEG_INF / 2, 0.0, maxes[..., r[1]])
+        ch = jnp.where(span_ok[:, None], ch, 0.0)
+        channels.append(ch)
+
+    out = jnp.stack(channels, axis=-1)  # (B, S, C)
+    return out.reshape(B, height, width, len(recipes))
+
+
+def ergo12_fused_batched(blocks: EventBlock, height: int, width: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    return mdes_fused_batched(
+        blocks, height, width, tuple(E12_WINDOWS), tuple(E12_FUNCS),
+        tuple(E12_AGGS), "SBN", interpret,
+    )

@@ -1,0 +1,71 @@
+"""Fused Pallas MDES kernel vs golden NumPy semantics (interpret mode on the
+CPU test mesh; the same code compiles to Mosaic on TPU)."""
+import jax
+import numpy as np
+import pytest
+
+from event_representation_study_tpu.events import (
+    from_structured,
+    generate_fake_events,
+    stack_blocks,
+)
+from event_representation_study_tpu.reps import numpy_ref
+from event_representation_study_tpu.reps.ergo12 import (
+    AGGREGATIONS,
+    FUNCTIONS,
+    WINDOW_INDEXES,
+)
+from event_representation_study_tpu.reps.fused_mdes import mdes_fused_batched
+
+H, W = 16, 64  # 1024 pixels = 2 tiles; interpret mode is slow
+CAP = 512
+
+
+def _batch(sizes, seeds):
+    evs = [
+        generate_fake_events(n, height=H, width=W, duration_us=50_000, seed=s)
+        for n, s in zip(sizes, seeds)
+    ]
+    return evs, stack_blocks([from_structured(e, CAP) for e in evs])
+
+
+def test_fused_ergo12_parity():
+    evs, batch = _batch([400, 210], [0, 1])
+    out = np.asarray(
+        mdes_fused_batched(
+            batch, H, W, tuple(WINDOW_INDEXES), tuple(FUNCTIONS),
+            tuple(AGGREGATIONS), "SBN", interpret=True,
+        )
+    )
+    for i, ev in enumerate(evs):
+        want = numpy_ref.ergo12_np(ev, H, W)
+        np.testing.assert_allclose(out[i], want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_all_aggs():
+    evs, batch = _batch([300, 350], [2, 3])
+    windows = (0, 2, 5, 6, 1, 3, 4)
+    funcs = (
+        "count", "timestamp", "polarity", "timestamp_neg", "count_pos",
+        "timestamp_pos", "count_neg",
+    )
+    aggs = ("sum", "max", "variance", "mean", "sum", "max", "mean")
+    out = np.asarray(
+        mdes_fused_batched(batch, H, W, windows, funcs, aggs, "SBN", interpret=True)
+    )
+    for i, ev in enumerate(evs):
+        want = numpy_ref.mdes_np(ev, H, W, windows, funcs, aggs)
+        np.testing.assert_allclose(out[i], want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_tiny_and_empty_windows():
+    evs, batch = _batch([6, 40], [4, 5])
+    out = np.asarray(
+        mdes_fused_batched(
+            batch, H, W, (6, 0), ("count", "count"), ("sum", "sum"), "SBN",
+            interpret=True,
+        )
+    )
+    for i, ev in enumerate(evs):
+        want = numpy_ref.mdes_np(ev, H, W, [6, 0], ["count"] * 2, ["sum"] * 2)
+        np.testing.assert_allclose(out[i], want, rtol=1e-5, atol=1e-5)
