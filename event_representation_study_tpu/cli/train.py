@@ -1,0 +1,81 @@
+"""Detection training CLI — the equivalent of ev-YOLOv6/tools/train.py.
+
+    python -m event_representation_study_tpu.cli.train \
+        --conf configs/gen1_optimized.py --data-path /data/gen1 \
+        --batch-size 32 --epochs 100
+
+``--testing`` skips training and runs evaluation only (the reference's
+train.py --testing path, SURVEY §3.2). Multi-chip data parallelism is
+automatic over all visible devices (jax.distributed for multi-host).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("TPU event-detector training")
+    p.add_argument("--conf", type=str, default="configs/gen1_optimized.py",
+                   help="experiment config file")
+    p.add_argument("--data-path", type=str, required=True)
+    p.add_argument("--representation", type=str, default=None,
+                   help="override the config's representation name")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--num-events", type=int, default=None)
+    p.add_argument("--output-dir", type=str, default="runs/train/exp")
+    p.add_argument("--eval-interval", type=int, default=10)
+    p.add_argument("--testing", action="store_true",
+                   help="evaluation only (train.py --testing)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="checkpoint to evaluate / resume from")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--override", nargs="*", default=[],
+                   help="dotted-key config overrides, e.g. model.depth_multiple=0.5")
+    return p
+
+
+def main(args=None):
+    args = get_args_parser().parse_args(args)
+    from ..train.engine import Trainer
+    from ..utils.config import load_config
+
+    cfg = load_config(args.conf, overrides=args.override)
+    if args.representation:
+        cfg.setdefault("data", {})["representation"] = args.representation
+
+    trainer = Trainer(
+        cfg,
+        args.data_path,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        img_size=args.img_size,
+        output_dir=args.output_dir,
+        eval_interval=args.eval_interval,
+        num_events=args.num_events,
+        seed=args.seed,
+    )
+    if args.checkpoint:
+        from ..train.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(args.checkpoint)
+        import jax
+
+        state_dict = ckpt["state"]
+        trainer.state = type(trainer.state)(**state_dict)
+        trainer.start_epoch = int(ckpt["epoch"]) + 1
+
+    if args.testing:
+        stats = trainer.evaler.run(
+            {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+            if args.checkpoint is None
+            else trainer.state.ema.variables
+        )
+        print(stats)
+        return stats
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Gen1 automotive detection dataset over the study's HDF5 layout.
+
+Layout (ev-YOLOv6/yolov6/data/gen1_2yolo.py:65-198): one file per split
+(training/validation/testing.h5), one group per recording with
+``bbox/{t_unique, offsets, class_id, x, y, w, h, event_idx}`` and
+``events/{x, y, t, p, height, width}``. A sample is one unique bbox
+timestamp: its boxes plus the 50k events ending at ``event_idx``.
+
+This loader returns fixed-shape samples ready for the fused device pipeline:
+raw padded event windows + padded normalized labels — the representation,
+resize and letterbox run on-device (train_step / evaler), eliminating the
+reference's per-item CPU transform in DataLoader workers (the bottleneck the
+TPU rebuild removes, SURVEY §3.3).
+
+A host-transform mode mirrors the reference exactly (rep built on CPU via
+``get_item_transform``, cv2-style resize+letterbox) for parity checks.
+
+``write_gen1_fixture`` generates synthetic files with the same layout for
+tests (the reference ships no fixtures, SURVEY §4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+SPLIT_FILES = {"train": "training.h5", "val": "validation.h5", "test": "testing.h5"}
+CLASSES = ("car", "pedestrian")
+
+
+@dataclasses.dataclass
+class Gen1Sample:
+    """Fixed-capacity sample."""
+
+    events: np.ndarray  # (4, capacity) int32 rows x, y, t, p
+    num_events: int
+    labels: np.ndarray  # (max_boxes, 5) [cls, cx, cy, w, h] normalized
+    num_labels: int
+    index: int
+    height: int
+    width: int
+
+
+class Gen1H5:
+    """Reader for one split of the Gen1 HDF5 dataset."""
+
+    def __init__(
+        self,
+        root,
+        task: str = "train",
+        num_events: int = 50000,
+        max_boxes: int = 32,
+        time_window: int = 300000,
+    ):
+        if h5py is None:
+            raise RuntimeError("h5py is required for Gen1H5")
+        root = pathlib.Path(root)
+        path = root / SPLIT_FILES[task.lower()] if root.is_dir() else root
+        self.h5 = h5py.File(path, "r")
+        self.task = task
+        self.num_events = num_events
+        self.max_boxes = max_boxes
+        self.time_window = time_window
+        self._file_names = sorted(self.h5.keys())
+        self._counts = [
+            len(self.h5[f"{f}/bbox/t_unique"]) for f in self._file_names
+        ]
+        self._cum = np.cumsum([0] + self._counts)
+        first = self._file_names[0]
+        self.height = int(self.h5[f"{first}/events/height"][()])
+        self.width = int(self.h5[f"{first}/events/width"][()])
+        self.classes = list(CLASSES)
+
+    def __len__(self) -> int:
+        return int(self._cum[-1])
+
+    def _locate(self, idx: int):
+        """Global index -> (local index, group) via the prefix sums
+        (gen1_2yolo.py:160-166)."""
+        file_i = int(np.searchsorted(self._cum, idx, side="right")) - 1
+        return idx - int(self._cum[file_i]), self.h5[self._file_names[file_i]]
+
+    def _load_bbox(self, handle, idx: int):
+        """Normalized [cls, cx, cy, w, h] with the reference's clip-to-frame
+        (gen1_2yolo.py:168-184)."""
+        b = handle["bbox"]
+        i0 = 0 if idx == 0 else int(b["offsets"][idx - 1])
+        i1 = int(b["offsets"][idx])
+        cls = np.asarray(b["class_id"][i0:i1], np.float32)
+        x = np.asarray(b["x"][i0:i1], np.float32) / self.width
+        y = np.asarray(b["y"][i0:i1], np.float32) / self.height
+        w = np.asarray(b["w"][i0:i1], np.float32) / self.width
+        h = np.asarray(b["h"][i0:i1], np.float32) / self.height
+        x2 = np.clip(x + w, 0, 1)
+        y2 = np.clip(y + h, 0, 1)
+        x1 = np.clip(x, 0, 1)
+        y1 = np.clip(y, 0, 1)
+        w, h = x2 - x1, y2 - y1
+        cx, cy = x1 + 0.5 * w, y1 + 0.5 * h
+        event_idx = int(b["event_idx"][idx])
+        return np.stack([cls, cx, cy, w, h], axis=-1), event_idx
+
+    def _load_events(self, handle, event_idx: int):
+        """The 50k-event window ending at the bbox timestamp
+        (gen1_2yolo.py:186-198)."""
+        ev = handle["events"]
+        i0 = max(0, event_idx - self.num_events)
+        x = np.asarray(ev["x"][i0:event_idx], np.int32)
+        y = np.asarray(ev["y"][i0:event_idx], np.int32)
+        t = np.asarray(ev["t"][i0:event_idx], np.int64)
+        p = np.asarray(ev["p"][i0:event_idx], np.int32)
+        if len(t):
+            t = t - t[0]
+        return x, y, t.astype(np.int32), p
+
+    def __getitem__(self, idx: int) -> Gen1Sample:
+        local, handle = self._locate(idx)
+        labels, event_idx = self._load_bbox(handle, local)
+        x, y, t, p = self._load_events(handle, event_idx)
+
+        n = len(x)
+        ev = np.zeros((4, self.num_events), np.int32)
+        ev[0, :n], ev[1, :n], ev[2, :n], ev[3, :n] = x, y, t, p
+
+        nl = min(len(labels), self.max_boxes)
+        lab = np.zeros((self.max_boxes, 5), np.float32)
+        lab[:nl] = labels[:nl]
+        return Gen1Sample(
+            events=ev, num_events=n, labels=lab, num_labels=nl,
+            index=idx, height=self.height, width=self.width,
+        )
+
+    def structured_events(self, idx: int) -> np.ndarray:
+        """Reference-style structured (x, y, t, p) array for the parity /
+        GWD paths (gen1_2yolo.py:567-571 dtype)."""
+        s = self[idx]
+        n = s.num_events
+        out = np.zeros(n, dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i4"), ("p", "<i4")])
+        out["x"], out["y"], out["t"], out["p"] = (
+            s.events[0, :n], s.events[1, :n], s.events[2, :n], s.events[3, :n]
+        )
+        return out
+
+
+def write_gen1_fixture(
+    path,
+    num_files: int = 2,
+    boxes_per_file: int = 3,
+    events_per_file: int = 20000,
+    height: int = 240,
+    width: int = 304,
+    seed: int = 0,
+):
+    """Synthetic Gen1-layout HDF5 for tests."""
+    from ..events.fake import generate_fake_events
+
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        for i in range(num_files):
+            g = f.create_group(f"rec{i:03d}")
+            x, y, t, p = generate_fake_events(
+                events_per_file, height, width, duration_us=1_000_000,
+                seed=seed + i, structured=False,
+            )
+            ge = g.create_group("events")
+            ge["x"], ge["y"], ge["t"], ge["p"] = (
+                x.astype(np.uint16), y.astype(np.uint16), t.astype(np.int64),
+                p.astype(np.int8),
+            )
+            ge["height"], ge["width"] = height, width
+            gb = g.create_group("bbox")
+            n = boxes_per_file
+            per = rng.integers(1, 4, n)
+            offsets = np.cumsum(per)
+            total = int(offsets[-1])
+            bw = rng.uniform(20, 80, total)
+            bh = rng.uniform(20, 60, total)
+            gb["t_unique"] = np.sort(rng.integers(0, 1_000_000, n)).astype(np.int64)
+            gb["offsets"] = offsets.astype(np.int64)
+            gb["class_id"] = rng.integers(0, 2, total).astype(np.int64)
+            gb["x"] = rng.uniform(0, width - 80, total).astype(np.float32)
+            gb["y"] = rng.uniform(0, height - 60, total).astype(np.float32)
+            gb["w"] = bw.astype(np.float32)
+            gb["h"] = bh.astype(np.float32)
+            gb["event_idx"] = np.sort(
+                rng.integers(1000, events_per_file, n)
+            ).astype(np.int64)
+    return path

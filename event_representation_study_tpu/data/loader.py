@@ -1,0 +1,114 @@
+"""Batched, prefetching host loader.
+
+Replaces the reference's 8-worker torch DataLoader + infinite _RepeatSampler
+(ev-YOLOv6/yolov6/data/data_load.py:107-164) and the DistributedSampler
+(:115-117): a background thread assembles fixed-shape numpy batches while
+the device computes; per-host sharding (``shard_id``/``num_shards``) covers
+multi-host data parallelism. The representation itself is NOT built here —
+it runs fused on device — so worker processes are unnecessary: batch
+assembly is pure slicing/stacking.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..parallel.train_step import Batch
+from .gen1 import Gen1H5
+
+
+class EventBatchLoader:
+    def __init__(
+        self,
+        dataset: Gen1H5,
+        batch_size: int,
+        img_size: int = 640,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        shard_id: int = 0,
+        num_shards: int = 1,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.ds) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.shard_id :: self.num_shards]
+
+    def _make_batch(self, indices) -> Batch:
+        # host numpy only: device transfer happens in the consumer thread
+        # (device_put from the prefetch thread can deadlock in-process CPU
+        # collectives used by sharded programs)
+        from ..events.core import EventBlock
+
+        samples = [self.ds[int(i)] for i in indices]
+        ev = np.stack([s.events for s in samples])  # (B, 4, N)
+        num = np.array([s.num_events for s in samples], np.int32)
+        labels = np.stack([s.labels for s in samples])  # (B, M, 5)
+        nl = np.array([s.num_labels for s in samples], np.int32)
+        mask = np.arange(labels.shape[1])[None, :] < nl[:, None]
+        blocks = EventBlock(
+            x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
+        )
+        # normalized cxcywh -> absolute xyxy in the letterboxed model frame
+        # (the label path of gen1_2yolo.py:348-362)
+        from ..ops.image import letterbox_labels
+
+        lb = np.stack(
+            [
+                letterbox_labels(l, self.ds.height, self.ds.width, self.img_size)
+                for l in labels
+            ]
+        )
+        return Batch(
+            images=None,
+            events=blocks,
+            gt_labels=labels[..., 0].astype(np.int32),
+            gt_bboxes=lb[..., 1:5].astype(np.float32),
+            gt_mask=mask.astype(np.float32),
+        ), np.array([s.index for s in samples])
+
+    def __iter__(self) -> Iterator:
+        indices = self._indices()
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            for b in range(nb):
+                sel = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(sel) < self.batch_size and self.drop_last:
+                    break
+                q.put(self._make_batch(sel))
+            q.put(stop)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        self.epoch += 1

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from ..events.core import EventBlock
-from ..reps.dispatch import build_representation
+from ..ops.image import letterbox_image
+from ..reps.dispatch import batched_representation, build_representation
 from ..train.ema import EMAState, ema_init, ema_update
 from ..train.losses import LossConfig, detection_loss
 from ..train.optim import SolverConfig, build_optimizer
@@ -56,19 +57,17 @@ def make_train_step(
     consumes raw event blocks and builds the representation on device
     (eliminating the reference's CPU worker path, gen1_2yolo.py:287-304)."""
 
+    H, W = rep_hw
+    rep_fn = batched_representation(representation, H, W) if representation else None
+
     def images_of(batch: Batch):
         if batch.images is not None:
             return batch.images
-        H, W = rep_hw
-        reps = jax.vmap(lambda b: build_representation(representation, b, H, W))(
-            batch.events
-        )
-        return (
-            jax.image.resize(
-                reps, (reps.shape[0], img_size, img_size, reps.shape[-1]), "linear"
-            )
-            / 255.0
-        )
+        # on-device: rep at sensor resolution -> letterbox to the model frame
+        # (same geometry as the label path; pad 114, then /255 like
+        # engine.py:628-635 prepro_data)
+        reps = rep_fn(batch.events)
+        return letterbox_image(reps, img_size) / 255.0
 
     def loss_fn(params, batch_stats, batch: Batch, epoch):
         imgs = images_of(batch)
@@ -111,20 +110,14 @@ def make_train_step(
 
 def make_eval_step(model, representation: Optional[str] = None,
                    rep_hw: Tuple[int, int] = (240, 304), img_size: int = 640):
+    H, W = rep_hw
+    rep_fn = batched_representation(representation, H, W) if representation else None
+
     def eval_step(variables, batch: Batch):
         if batch.images is not None:
             imgs = batch.images
         else:
-            H, W = rep_hw
-            reps = jax.vmap(
-                lambda b: build_representation(representation, b, H, W)
-            )(batch.events)
-            imgs = (
-                jax.image.resize(
-                    reps, (reps.shape[0], img_size, img_size, reps.shape[-1]), "linear"
-                )
-                / 255.0
-            )
+            imgs = letterbox_image(rep_fn(batch.events), img_size) / 255.0
         return model.apply(variables, imgs, False)
 
     return jax.jit(eval_step)

@@ -19,7 +19,9 @@ class EMAState(NamedTuple):
 
 
 def ema_init(variables) -> EMAState:
-    return EMAState(jax.tree.map(jnp.asarray, variables), jnp.zeros((), jnp.int32))
+    # real copies: aliasing the live params would make buffer donation of a
+    # TrainState containing both fail ("donate the same buffer twice")
+    return EMAState(jax.tree.map(jnp.copy, variables), jnp.zeros((), jnp.int32))
 
 
 def ema_update(state: EMAState, new_variables, base_decay: float = 0.9999) -> EMAState:

@@ -1,0 +1,167 @@
+"""Training engine — the equivalent of ev-YOLOv6/yolov6/core/engine.py
+Trainer, on the fused device pipeline.
+
+Per epoch: iterate sharded batches through the single jitted train step
+(events -> rep -> forward -> assign -> loss -> SGD -> EMA, all on device),
+log loss parts, follow the reference's eval cadence — every epoch for the
+first ``eval_interval_first`` epochs, then every ``eval_interval``-th and the
+last (engine.py:165-195) — evaluate on EMA weights, checkpoint
+last/best (engine.py:272-318).
+"""
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.gen1 import Gen1H5
+from ..data.loader import EventBatchLoader
+from ..models import build_model
+from ..parallel.mesh import data_sharding, make_mesh
+from ..parallel.train_step import (
+    Batch,
+    init_train_state,
+    make_train_step,
+)
+from ..utils.logging import get_logger
+from .checkpoint import save_checkpoint
+from .evaler import Evaler
+from .losses import LossConfig
+from .optim import SolverConfig, build_optimizer
+
+LOGGER = get_logger("engine")
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Dict,
+        data_root,
+        batch_size: int = 32,
+        epochs: int = 100,
+        img_size: int = 640,
+        output_dir: str = "runs/train/exp",
+        eval_interval: int = 10,
+        eval_interval_first: int = 20,
+        num_events: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.epochs = epochs
+        self.img_size = img_size
+        self.output_dir = pathlib.Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.eval_interval = eval_interval
+        self.eval_interval_first = eval_interval_first
+
+        data = cfg.get("data", {})
+        self.representation = data.get("representation", "OptimizedRepresentation")
+        nc = data.get("num_classes", 2)
+        ne = num_events or data.get("num_events", 50000)
+        self.train_ds = Gen1H5(data_root, task="train", num_events=ne)
+        self.val_ds = Gen1H5(data_root, task="val", num_events=ne)
+        self.train_loader = EventBatchLoader(
+            self.train_ds, batch_size, img_size=img_size, shuffle=True, seed=seed
+        )
+        self.val_loader = EventBatchLoader(
+            self.val_ds, batch_size, img_size=img_size, shuffle=False, drop_last=False
+        )
+
+        self.model = build_model(cfg, num_classes=nc)
+        solver = cfg.get("solver", {})
+        self.solver_cfg = SolverConfig(
+            lr0=solver.get("lr0", 0.0032),
+            lrf=solver.get("lrf", 0.12),
+            momentum=solver.get("momentum", 0.843),
+            weight_decay=solver.get("weight_decay", 0.00036),
+            warmup_epochs=solver.get("warmup_epochs", 2.0),
+            warmup_momentum=solver.get("warmup_momentum", 0.5),
+            warmup_bias_lr=solver.get("warmup_bias_lr", 0.05),
+            epochs=epochs,
+            steps_per_epoch=max(len(self.train_loader), 1),
+            batch_size=batch_size,
+        )
+        head = cfg["model"]["head"]
+        self.loss_cfg = LossConfig(
+            num_classes=nc,
+            strides=tuple(head.get("strides", (8, 16, 32, 64))),
+            reg_max=head.get("reg_max", 16),
+            use_dfl=head.get("use_dfl", True),
+            iou_type=head.get("iou_type", "giou"),
+            warmup_epoch=head.get("atss_warmup_epoch", 4),
+        )
+
+        dummy = jnp.zeros((batch_size, img_size, img_size, 12))
+        import functools
+
+        self.tx = build_optimizer(
+            jax.eval_shape(
+                functools.partial(self.model.init, train=True),
+                jax.random.PRNGKey(0), dummy,
+            )["params"],
+            self.solver_cfg,
+        )
+        import math
+
+        # the data axis must divide the batch
+        self.mesh = make_mesh(math.gcd(batch_size, len(jax.devices())))
+        self.state = init_train_state(
+            self.model, self.tx, jax.random.PRNGKey(seed), dummy
+        )
+        self.train_step = make_train_step(
+            self.model, self.loss_cfg, self.tx,
+            representation=self.representation,
+            rep_hw=(self.train_ds.height, self.train_ds.width),
+            img_size=img_size,
+        )
+        self.evaler = Evaler(
+            self.model, self.val_loader, nc, self.representation, img_size
+        )
+        self.best_ap = -1.0
+        self.start_epoch = 0
+
+    def _shard(self, batch: Batch) -> Batch:
+        s = data_sharding(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+    def should_eval(self, epoch: int) -> bool:
+        return (
+            epoch <= self.eval_interval_first
+            or epoch % self.eval_interval == 0
+            or epoch == self.epochs - 1
+        )
+
+    def train(self):
+        with self.mesh:
+            for epoch in range(self.start_epoch, self.epochs):
+                t0 = time.time()
+                losses = []
+                for batch, _ in self.train_loader:
+                    batch = self._shard(batch)
+                    self.state, parts = self.train_step(
+                        self.state, batch, jnp.int32(epoch)
+                    )
+                    losses.append(parts)
+                if losses:
+                    last = {k: float(v) for k, v in losses[-1].items()}
+                    LOGGER.info(
+                        "epoch %d done in %.1fs loss=%.4f (iou %.3f dfl %.3f cls %.3f)",
+                        epoch, time.time() - t0, last["loss"], last["iou"],
+                        last["dfl"], last["cls"],
+                    )
+                if self.should_eval(epoch):
+                    stats = self.eval_and_save(epoch)
+                    LOGGER.info("epoch %d eval: %s", epoch, stats)
+
+    def eval_and_save(self, epoch: int) -> Dict[str, float]:
+        variables = self.state.ema.variables
+        stats = self.evaler.run(variables)
+        save_checkpoint(self.output_dir / "last_ckpt", self.state, epoch)
+        if stats.get("AP", -1) > self.best_ap:
+            self.best_ap = stats["AP"]
+            save_checkpoint(self.output_dir / "best_ckpt", self.state, epoch)
+        return stats

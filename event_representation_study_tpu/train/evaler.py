@@ -1,0 +1,86 @@
+"""Evaluation engine — the equivalent of ev-YOLOv6/yolov6/core/evaler.py.
+
+Runs the fused device pipeline (events -> rep -> forward -> NMS) per batch,
+un-letterboxes detections to sensor coordinates (scale_coords semantics,
+evaler.py:512-543), accumulates COCO metrics, and keeps the reference's
+4-slot speed accounting (samples / pre-process / inference+NMS / post,
+evaler.py:138-177) with wall-clock forced by device readback.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.loader import EventBatchLoader
+from ..metrics.coco import CocoEvaluator
+from ..ops.image import scale_coords_back
+from ..ops.nms import non_max_suppression
+from ..parallel.train_step import make_eval_step
+
+
+class Evaler:
+    def __init__(
+        self,
+        model,
+        loader: EventBatchLoader,
+        num_classes: int,
+        representation: str,
+        img_size: int = 640,
+        conf_thres: float = 0.03,
+        iou_thres: float = 0.65,
+    ):
+        self.model = model
+        self.loader = loader
+        self.num_classes = num_classes
+        self.img_size = img_size
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        ds = loader.ds
+        self._eval_step = make_eval_step(
+            model, representation, rep_hw=(ds.height, ds.width), img_size=img_size
+        )
+        self._nms = jax.jit(
+            lambda p: non_max_suppression(
+                p, conf_thres=conf_thres, iou_thres=iou_thres
+            )
+        )
+
+    def run(self, variables) -> Dict[str, float]:
+        ds = self.loader.ds
+        coco = CocoEvaluator(self.num_classes)
+        speed = {"n": 0, "pre_ms": 0.0, "infer_ms": 0.0, "post_ms": 0.0}
+        for batch, indices in self.loader:
+            t0 = time.perf_counter()
+            preds = self._eval_step(variables, batch)
+            dets, counts = self._nms(preds)
+            dets = np.asarray(dets)  # readback forces completion
+            counts = np.asarray(counts)
+            t1 = time.perf_counter()
+            labels = np.asarray(batch.gt_labels)
+            boxes = np.asarray(batch.gt_bboxes)
+            mask = np.asarray(batch.gt_mask) > 0
+            for i in range(dets.shape[0]):
+                n = int(counts[i])
+                d = dets[i, :n].copy()
+                d[:, :4] = scale_coords_back(
+                    d[:, :4], self.img_size, ds.height, ds.width
+                )
+                m = mask[i]
+                g = boxes[i][m]  # letterboxed xyxy -> back to sensor frame
+                g = scale_coords_back(g, self.img_size, ds.height, ds.width)
+                gts = np.concatenate(
+                    [labels[i][m][:, None].astype(np.float64), g], axis=1
+                )
+                coco.add_image(d, gts)
+            t2 = time.perf_counter()
+            speed["n"] += dets.shape[0]
+            speed["infer_ms"] += (t1 - t0) * 1e3
+            speed["post_ms"] += (t2 - t1) * 1e3
+        stats = coco.summarize()
+        if speed["n"]:
+            stats["speed_infer_nms_ms"] = speed["infer_ms"] / speed["n"]
+            stats["speed_post_ms"] = speed["post_ms"] / speed["n"]
+        return stats
