@@ -1,0 +1,118 @@
+"""Acquisition optimization — a vectorized evolutionary search replacing
+gryffin's DEAP genetic optimizer + multiprocessing fan-out
+(gryffin/src/gryffin/acquisition/*, SURVEY §2.8 #9): the whole population
+evaluates in one batched XLA call per generation instead of one process per
+CPU.
+
+Constraint handling matches gryffin's ``known_constraints``: infeasible
+candidates are rejected at sampling time and after mutation (the constrained
+evolution of genetic_optimizer.py:217).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .kernels import KernelModel, acquisition_values
+
+
+def _feasible_mask(samples: np.ndarray, known_constraints) -> np.ndarray:
+    if known_constraints is None:
+        return np.ones(len(samples), bool)
+    return np.array([bool(known_constraints(s)) for s in samples])
+
+
+def random_feasible(
+    rng: np.random.Generator,
+    option_counts: Sequence[int],
+    n: int,
+    known_constraints=None,
+    max_tries: int = 200,
+) -> np.ndarray:
+    """Constrained rejection sampling (gryffin random_sampler/:35-124)."""
+    dims = len(option_counts)
+    out = []
+    for _ in range(max_tries):
+        cand = np.stack(
+            [rng.integers(0, c, n) for c in option_counts], axis=-1
+        ).astype(np.int64)
+        ok = _feasible_mask(cand, known_constraints)
+        out.append(cand[ok])
+        if sum(len(o) for o in out) >= n:
+            break
+    if not out:
+        raise RuntimeError("no feasible samples found")
+    return np.concatenate(out)[:n]
+
+
+def optimize_acquisition(
+    model: KernelModel,
+    lam: float,
+    option_counts: Sequence[int],
+    rng: np.random.Generator,
+    known_constraints=None,
+    population: int = 200,
+    generations: int = 10,
+    mutation_rate: float = 0.2,
+    elite_frac: float = 0.2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimize (num + lam) * inv_den over the categorical grid; returns
+    (sorted candidates, their acquisition values)."""
+    import jax.numpy as jnp
+
+    pop = random_feasible(rng, option_counts, population, known_constraints)
+    counts = np.asarray(option_counts)
+
+    def evaluate(p):
+        return np.asarray(acquisition_values(model, jnp.asarray(p), jnp.float32(lam)))
+
+    vals = evaluate(pop)
+    n_elite = max(int(elite_frac * population), 1)
+    for _ in range(generations):
+        order = np.argsort(vals)
+        pop, vals = pop[order], vals[order]
+        elite = pop[:n_elite]
+        # tournament parents + uniform crossover
+        a = pop[rng.integers(0, population // 2, population - n_elite)]
+        b = pop[rng.integers(0, population // 2, population - n_elite)]
+        mask = rng.random((population - n_elite, len(counts))) < 0.5
+        children = np.where(mask, a, b)
+        # categorical mutation
+        mut = rng.random(children.shape) < mutation_rate
+        resample = np.stack(
+            [rng.integers(0, c, len(children)) for c in counts], axis=-1
+        )
+        children = np.where(mut, resample, children)
+        ok = _feasible_mask(children, known_constraints)
+        bad = ~ok
+        if bad.any():
+            children[bad] = random_feasible(
+                rng, option_counts, int(bad.sum()), known_constraints
+            )
+        pop = np.concatenate([elite, children])
+        vals = evaluate(pop)
+    order = np.argsort(vals)
+    return pop[order], vals[order]
+
+
+def select_diverse(
+    candidates: np.ndarray,
+    values: np.ndarray,
+    previous: Optional[np.ndarray],
+    n: int = 1,
+) -> np.ndarray:
+    """Diversity-penalized batch selection (gryffin sample_selector): prefer
+    low acquisition but penalize duplicates of already-selected samples."""
+    chosen = []
+    prev = [] if previous is None else [tuple(p) for p in previous]
+    for cand, v in zip(candidates, values):
+        key = tuple(cand)
+        if key in prev or any(tuple(c) == key for c in chosen):
+            continue
+        chosen.append(cand)
+        if len(chosen) == n:
+            break
+    while len(chosen) < n and len(candidates):
+        chosen.append(candidates[0])
+    return np.asarray(chosen)

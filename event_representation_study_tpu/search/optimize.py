@@ -1,0 +1,82 @@
+"""Greedy sequential channel search — the ERGO-12 optimization driver
+(representations/representation_search/optimization.py:168-290).
+
+For each of 12 channels: run ``budget`` BO iterations over
+{window 0-6} x {7 measurement functions} x {4 aggregations} with the study's
+constraint table (optimization.py:148-165), alternating +-1 sampling
+strategies (:234-241); the objective is the mean OTMI C_p of the
+representation built from the channels fixed so far plus the candidate
+(:116-145). The best triple is frozen and the search moves to the next
+channel (:252-263).
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..reps.mdes import AGGREGATIONS, FUNCTIONS
+from .gryffin import CategoricalParam, Gryffin
+
+WINDOW_OPTIONS = [str(i) for i in range(7)]
+
+
+def default_known_constraints(params: Dict) -> bool:
+    """The study's constraint table: count-like functions cannot use
+    variance aggregation etc. (optimization.py:148-165 known_constraints_cat
+    — re-derived: variance of a constant-1 measurement is identically 0,
+    so 'count*' x 'variance' combinations are excluded)."""
+    if params["function"].startswith("count") and params["aggregation"] == "variance":
+        return False
+    return True
+
+
+def search_space() -> List[CategoricalParam]:
+    return [
+        CategoricalParam("window", WINDOW_OPTIONS),
+        CategoricalParam("function", list(FUNCTIONS)),
+        CategoricalParam("aggregation", list(AGGREGATIONS)),
+    ]
+
+
+def sequential_optimization(
+    measure: Callable[[List[Tuple[int, str, str]]], float],
+    channels: int = 12,
+    budget: int = 100,
+    seed: int = 42,
+    known_constraints: Callable[[Dict], bool] = default_known_constraints,
+    save_path: Optional[str] = None,
+    verbose: bool = True,
+) -> List[Tuple[int, str, str]]:
+    """``measure(triples)`` scores a partial representation (lower=better,
+    e.g. mean OTMI over the chosen samples, optimization.py:116-145)."""
+    fixed: List[Tuple[int, str, str]] = []
+    best_observations = []
+    for ch in range(channels):
+        gryffin = Gryffin(
+            search_space(), known_constraints=known_constraints,
+            random_seed=seed + ch,
+        )
+        observations: List[Dict] = []
+        it = 0
+        while it < budget:
+            # alternating +-1 strategies (optimization.py:234-241)
+            strategies = (-1, 1) if it % 2 == 0 else (1, -1)
+            recs = gryffin.recommend(observations, sampling_strategies=strategies)
+            for rec in recs:
+                triple = (int(rec["window"]), rec["function"], rec["aggregation"])
+                c_p = measure(fixed + [triple])
+                observations.append(dict(rec, obj=c_p))
+                it += 1
+                if it >= budget:
+                    break
+        best = min(observations, key=lambda o: o["obj"])
+        fixed.append((int(best["window"]), best["function"], best["aggregation"]))
+        best_observations.append(best)
+        if verbose:
+            print(f"channel {ch}: best {best}")
+        if save_path:
+            with open(save_path, "wb") as f:
+                pickle.dump(best_observations, f)
+    return fixed
