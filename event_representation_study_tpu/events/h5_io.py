@@ -1,0 +1,142 @@
+"""Event-stream HDF5 / NPZ I/O — the equivalent of the ev-licious handles
+(ev-licious/src/evlicious/io/): the canonical ``events/{x,y,t,p,height,
+width,divider}`` layout (h5_event_handle.py:16-23), time/index range
+queries via searchsorted (:10-11,:44-66), an incremental writer
+(h5_writer.py:29-67; Blosc-ZSTD when hdf5plugin is available, gzip
+otherwise), and suffix-dispatched loading (io/__init__.py:22-39).
+"""
+from __future__ import annotations
+
+import pathlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+try:
+    import hdf5plugin
+
+    _COMPRESSION = dict(hdf5plugin.Blosc(cname="zstd", clevel=5))
+except ImportError:
+    _COMPRESSION = dict(compression="gzip", compression_opts=4)
+
+from .core import normalize_polarity
+
+
+class H5EventHandle:
+    """Read handle over the canonical layout."""
+
+    def __init__(self, path):
+        self.f = h5py.File(path, "r")
+        g = self.f["events"]
+        assert all(k in g for k in ("x", "y", "t", "p")), "not an events file"
+        self.height = int(g["height"][()]) if "height" in g else int(g["y"][:].max()) + 1
+        self.width = int(g["width"][()]) if "width" in g else int(g["x"][:].max()) + 1
+
+    def __len__(self):
+        return len(self.f["events/t"])
+
+    def index_from_time(self, t_us: int) -> int:
+        """First event index with t >= t_us (h5_event_handle.py:10-11)."""
+        return int(np.searchsorted(self.f["events/t"], t_us))
+
+    def get_between_idx(self, i0: int, i1: int) -> np.ndarray:
+        g = self.f["events"]
+        n = i1 - i0
+        out = np.zeros(n, dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i8"), ("p", "<i4")])
+        out["x"] = g["x"][i0:i1]
+        out["y"] = g["y"][i0:i1]
+        out["t"] = g["t"][i0:i1]
+        out["p"] = normalize_polarity(np.asarray(g["p"][i0:i1]))
+        return out
+
+    def get_between_time(self, t0_us: int, t1_us: int) -> np.ndarray:
+        return self.get_between_idx(self.index_from_time(t0_us), self.index_from_time(t1_us))
+
+    def compute_index_windows(self, window: int, stride: Optional[int] = None):
+        """Fixed-count windows (h5_event_handle.py:71-103, unit='nr')."""
+        stride = stride or window
+        n = len(self)
+        starts = np.arange(0, max(n - window + 1, 1), stride)
+        return np.stack([starts, np.minimum(starts + window, n)], axis=-1)
+
+    def compute_time_windows(self, window_us: int, stride_us: Optional[int] = None):
+        """Fixed-duration windows (unit='us')."""
+        stride_us = stride_us or window_us
+        t = self.f["events/t"]
+        t0, t1 = int(t[0]), int(t[-1])
+        starts = np.arange(t0, max(t1 - window_us + 1, t0 + 1), stride_us)
+        idx0 = np.searchsorted(t, starts)
+        idx1 = np.searchsorted(t, starts + window_us)
+        return np.stack([idx0, idx1], axis=-1)
+
+    def close(self):
+        self.f.close()
+
+
+class H5Writer:
+    """Incremental appender (h5_writer.py:29-67) with compressed chunks."""
+
+    def __init__(self, path, height: int, width: int):
+        self.f = h5py.File(path, "w")
+        g = self.f.create_group("events")
+        self._ds = {}
+        for name, dtype in (("x", np.uint16), ("y", np.uint16), ("t", np.int64), ("p", np.int8)):
+            self._ds[name] = g.create_dataset(
+                name, shape=(0,), maxshape=(None,), dtype=dtype,
+                chunks=(1 << 16,), **_COMPRESSION,
+            )
+        g["height"], g["width"], g["divider"] = height, width, 1
+
+    def add(self, x, y, t, p):
+        n0 = self._ds["x"].shape[0]
+        n1 = n0 + len(x)
+        for name, arr in (("x", x), ("y", y), ("t", t), ("p", p)):
+            self._ds[name].resize((n1,))
+            self._ds[name][n0:n1] = arr
+
+    def close(self):
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def load_events_from_path(path) -> np.ndarray:
+    """Suffix-dispatched loader (io/__init__.py:22-39): .h5/.hdf5/.npz/.npy."""
+    path = pathlib.Path(path)
+    if path.suffix in (".h5", ".hdf5"):
+        h = H5EventHandle(path)
+        out = h.get_between_idx(0, len(h))
+        h.close()
+        return out
+    if path.suffix == ".npz":
+        fh = np.load(path)
+        key = "event_data" if "event_data" in fh else list(fh.keys())[0]
+        raw = fh[key]
+        if raw.dtype.names:
+            out = np.zeros(len(raw), dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i8"), ("p", "<i4")])
+            for k in "xytp":
+                out[k] = raw[k] if k != "t" or "t" in raw.dtype.names else raw["ts"]
+            out["p"] = normalize_polarity(out["p"])
+            return out
+        out = np.zeros(len(raw), dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i8"), ("p", "<i4")])
+        out["x"], out["y"], out["t"], out["p"] = (
+            raw[:, 0], raw[:, 1], raw[:, 2], normalize_polarity(raw[:, 3])
+        )
+        return out
+    if path.suffix == ".npy":
+        raw = np.load(path)
+        out = np.zeros(len(raw), dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i8"), ("p", "<i4")])
+        out["x"], out["y"], out["t"], out["p"] = (
+            raw[:, 0], raw[:, 1], raw[:, 2], normalize_polarity(raw[:, 3])
+        )
+        return out
+    raise ValueError(f"unsupported event file: {path}")
