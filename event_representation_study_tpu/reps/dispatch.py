@@ -73,17 +73,26 @@ def batched_representation(name: str, height: int, width: int) -> Callable:
     else (and CPU) uses the vmapped segment-op path.
     """
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and (
-        "MixedDensityEventStack" in name
-        or name in ("OptimizedRepresentation", "ERGO12")
-    ):
-        from .fused_mdes import ergo12_fused_batched
+    if on_tpu:
+        fused = None
+        if "MixedDensityEventStack" in name or name in (
+            "OptimizedRepresentation", "ERGO12",
+        ):
+            from .fused_mdes import ergo12_fused_batched as fused
+        elif "ToImage" in name or name == "EventHistogram":
+            from .fused_reps import histogram_fused_batched as fused
+        elif "ToVoxelGrid" in name or name == "VoxelGrid":
+            from .fused_reps import voxel_grid_fused_batched as fused
+        elif "EventStack" in name:
+            from .fused_reps import event_stack_fused_batched as fused
+        elif "ToTimesurface" in name or name == "TimeSurface":
+            from .fused_reps import time_surface_fused_batched as fused
+        if fused is not None:
+            @jax.jit
+            def fn(blocks: EventBlock):
+                return fused(blocks, height, width) * 255.0
 
-        @jax.jit
-        def fn(blocks: EventBlock):
-            return ergo12_fused_batched(blocks, height, width) * 255.0
-
-        return fn
+            return fn
 
     @jax.jit
     def fn(blocks: EventBlock):

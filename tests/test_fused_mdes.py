@@ -69,3 +69,33 @@ def test_fused_tiny_and_empty_windows():
     for i, ev in enumerate(evs):
         want = numpy_ref.mdes_np(ev, H, W, [6, 0], ["count"] * 2, ["sum"] * 2)
         np.testing.assert_allclose(out[i], want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_other_reps_parity():
+    from event_representation_study_tpu.reps.fused_reps import (
+        event_stack_fused_batched,
+        histogram_fused_batched,
+        time_surface_fused_batched,
+        voxel_grid_fused_batched,
+    )
+
+    evs, batch = _batch([350, 200], [6, 7])
+    outs = {
+        "hist": np.asarray(histogram_fused_batched(batch, H, W, interpret=True)),
+        "voxel": np.asarray(voxel_grid_fused_batched(batch, H, W, interpret=True)),
+        "stack": np.asarray(event_stack_fused_batched(batch, H, W, interpret=True)),
+        "ts": np.asarray(time_surface_fused_batched(batch, H, W, interpret=True)),
+    }
+    for i, ev in enumerate(evs):
+        np.testing.assert_allclose(
+            outs["hist"][i], numpy_ref.event_histogram_np(ev, H, W), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            outs["voxel"][i], numpy_ref.voxel_grid_np(ev, H, W), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            outs["stack"][i], numpy_ref.event_stack_np(ev, H, W), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            outs["ts"][i], numpy_ref.time_surface_np(ev, H, W), rtol=5e-3, atol=5e-4
+        )
