@@ -1,0 +1,89 @@
+"""Demo inference CLI — the equivalent of ev-YOLOv6/yolov6/core/inferer.py:
+load an event file (any supported handle), run the fused
+events -> representation -> detector -> NMS pipeline, print/save detections
+and an annotated event-histogram image."""
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+
+
+def main(args=None):
+    p = argparse.ArgumentParser("event detector inference demo")
+    p.add_argument("--events", type=str, required=True, help=".h5/.npz event file")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--conf", type=str, default="configs/gen1_optimized.py")
+    p.add_argument("--representation", type=str, default="OptimizedRepresentation")
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--num-events", type=int, default=50000)
+    p.add_argument("--conf-thres", type=float, default=0.03)
+    p.add_argument("--save-img", type=str, default=None)
+    p.add_argument("--override", nargs="*", default=[])
+    args = p.parse_args(args)
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..events.core import from_structured, stack_blocks
+    from ..events.h5_io import load_events_from_path
+    from ..models import build_model
+    from ..ops.image import letterbox_image, scale_coords_back
+    from ..ops.nms import non_max_suppression
+    from ..reps.dispatch import batched_representation
+    from ..utils.config import load_config
+    from ..utils.viz import draw_boxes, make_binary_histo
+
+    ev = load_events_from_path(args.events)
+    H = int(ev["y"].max()) + 1
+    W = int(ev["x"].max()) + 1
+    ev = ev[-args.num_events :]
+    blocks = stack_blocks([from_structured(ev.astype(
+        [("x", "<i4"), ("y", "<i4"), ("t", "<i4"), ("p", "<i4")]
+    ), args.num_events)])
+
+    cfg = load_config(args.conf, overrides=args.override)
+    nc = cfg.get("data", {}).get("num_classes", 2)
+    model = build_model(cfg, num_classes=nc)
+    if args.checkpoint:
+        from ..train.checkpoint import load_checkpoint
+
+        variables = load_checkpoint(args.checkpoint)["state"]["ema"]["variables"]
+    else:
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, args.img_size, args.img_size, 12))
+        )
+
+    rep_fn = batched_representation(args.representation, H, W)
+
+    @jax.jit
+    def serve(blocks):
+        imgs = letterbox_image(rep_fn(blocks), args.img_size) / 255.0
+        preds = model.apply(variables, imgs, False)
+        return non_max_suppression(preds, conf_thres=args.conf_thres)
+
+    dets, n = serve(blocks)
+    dets = np.array(dets[0][: int(n[0])])  # writable host copy
+    if len(dets):
+        dets[:, :4] = scale_coords_back(dets[:, :4], args.img_size, H, W)
+    print(f"{len(dets)} detections")
+    for d in dets:
+        print(f"  cls={int(d[5])} conf={d[4]:.3f} box=({d[0]:.0f},{d[1]:.0f},{d[2]:.0f},{d[3]:.0f})")
+    if args.save_img:
+        img = make_binary_histo(ev, H, W)
+        img = draw_boxes(img, dets[:, :4] if len(dets) else np.zeros((0, 4)))
+        try:
+            from PIL import Image
+
+            Image.fromarray(img).save(args.save_img)
+            print(f"saved {args.save_img}")
+        except ImportError:
+            np.save(pathlib.Path(args.save_img).with_suffix(".npy"), img)
+    return dets
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Aux subsystems: learned representation, RepVGG fusion, export, viz."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_learned_representation_trains():
+    from event_representation_study_tpu.events import (
+        from_structured,
+        generate_fake_events,
+        stack_blocks,
+    )
+    from event_representation_study_tpu.models.learned_repr import (
+        QuantizationLayer,
+        ValueLayer,
+        pretrain_value_layer,
+        trilinear_kernel,
+    )
+
+    # pretraining fits the trilinear kernel
+    params = pretrain_value_layer(jax.random.PRNGKey(1), num_channels=12, steps=200)
+    ts = jnp.linspace(-0.3, 0.3, 64)
+    pred = ValueLayer().apply({"params": params}, ts)
+    err = float(jnp.abs(pred - trilinear_kernel(ts, 12)).mean())
+    assert err < 0.1, err
+
+    # quantization layer: differentiable end-to-end
+    H, W = 32, 48
+    evs = [generate_fake_events(500, H, W, seed=i) for i in range(2)]
+    blocks = stack_blocks([from_structured(e, 512) for e in evs])
+    layer = QuantizationLayer(num_bins=4, height=H, width=W)
+    variables = layer.init(jax.random.PRNGKey(0), blocks)
+    out = layer.apply(variables, blocks)
+    assert out.shape == (2, H, W, 8)
+
+    def loss(p):
+        return jnp.sum(layer.apply({"params": p}, blocks) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    gnorm = float(
+        sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_repvgg_fusion_equivalence():
+    from event_representation_study_tpu.models.layers import RepVGGBlock
+    from event_representation_study_tpu.utils.reparam import fuse_repvgg_block
+
+    block = RepVGGBlock(out_channels=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8))
+    variables = block.init(jax.random.PRNGKey(1), x, False)
+    # put nontrivial BN stats
+    bs = jax.tree.map(
+        lambda a: a + 0.3 * jax.random.uniform(jax.random.PRNGKey(2), a.shape),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": bs}
+    want = block.apply(variables, x, False)
+    kernel, bias = fuse_repvgg_block(variables["params"], variables["batch_stats"])
+    got = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + bias
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_export_roundtrip(tmp_path):
+    from event_representation_study_tpu.utils.export import (
+        export_serving_graph,
+        load_serving_graph,
+    )
+
+    def f(x):
+        return jnp.tanh(x) * 2.0
+
+    x = jnp.ones((4, 8))
+    path = tmp_path / "serving.bin"
+    export_serving_graph(f, x, path)
+    g = load_serving_graph(path)
+    np.testing.assert_allclose(np.asarray(g(x)), np.asarray(f(x)), rtol=1e-6)
+
+
+def test_viz_binary_histo_and_boxes():
+    from event_representation_study_tpu.events import generate_fake_events
+    from event_representation_study_tpu.utils.viz import draw_boxes, make_binary_histo
+
+    ev = generate_fake_events(500, 40, 60, seed=0)
+    img = make_binary_histo(ev, 40, 60)
+    assert img.shape == (40, 60, 3)
+    assert set(np.unique(img)) <= {0, 127, 255}
+    out = draw_boxes(img, np.array([[5, 5, 20, 20]]))
+    assert (out[5, 5:20] == (0, 255, 0)).all()
+
+
+def test_gwd_correlation_figure(tmp_path):
+    from event_representation_study_tpu.utils.viz import gwd_map_correlation_figure
+
+    gwd = {"a": 0.3, "b": 0.4, "c": 0.6}
+    mAP = {"a": 0.5, "b": 0.44, "c": 0.35}
+    fig, r = gwd_map_correlation_figure(gwd, mAP, path=tmp_path / "fig.png")
+    assert r < -0.9  # anti-correlated by construction
+    assert (tmp_path / "fig.png").exists()
