@@ -75,10 +75,12 @@ class RepStage(nn.Module):
 
 class EfficientRep(nn.Module):
     """5-stage RepVGG backbone (efficientrep.py:20-130): outputs strides
-    (8, 16, 32)."""
+    (8, 16, 32), plus the stride-4 feature when ``fuse_P2`` (required by the
+    BiFPAN necks)."""
 
     channels_list: Sequence[int]  # [64, 128, 256, 512, 1024]-style
     num_repeats: Sequence[int]  # [1, 6, 12, 18, 6]-style
+    fuse_P2: bool = True
     cspsppf: bool = False
     dtype: Any = jnp.float32
 
@@ -95,9 +97,9 @@ class EfficientRep(nn.Module):
             if i == 4:
                 sppf = CSPSPPF if self.cspsppf else SPPF
                 x = sppf(ch[4], 5, act="relu", dtype=self.dtype, name="sppf")(x, train)
-            if i >= 2:
+            if i >= 2 or self.fuse_P2:
                 outputs.append(x)
-        return tuple(outputs)  # strides 8, 16, 32
+        return tuple(outputs)  # strides (4,) 8, 16, 32
 
 
 class EfficientRep6(nn.Module):

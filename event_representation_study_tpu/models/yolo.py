@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from .backbones import CSPBackboneP6, EfficientRep, EfficientRep6
 from .heads import EffiDeHead
-from .necks import CSPRepBiFPANNeck_P6
+from .necks import CSPRepBiFPANNeck, CSPRepBiFPANNeck_P6
 
 BACKBONES = {
     "SwinTransformerV2": CSPBackboneP6,  # reference alias (see module docstring)
@@ -32,6 +32,7 @@ BACKBONES = {
 }
 NECKS = {
     "CSPRepBiFPANNeck_P6": CSPRepBiFPANNeck_P6,
+    "CSPRepBiFPANNeck": CSPRepBiFPANNeck,
 }
 
 
