@@ -32,10 +32,23 @@ class EventBatchLoader:
         prefetch: int = 2,
         shard_id: int = 0,
         num_shards: int = 1,
+        flipud: float = 0.0,
+        fliplr: float = 0.0,
     ):
+        """``flipud``/``fliplr`` enable the reference's geometric flip
+        augmentation (gen1_2yolo.py:210-228) applied jointly to the event
+        window and the normalized labels BEFORE the representation builds on
+        device — flipping events is exactly equivalent to flipping the
+        representation image for every kernel in reps/ (they are pure
+        functions of per-pixel event subsets). Image-space mosaic/mixup
+        (data/augment.py) operate on prebuilt images and plug in via
+        Batch.images."""
         self.ds = dataset
         self.batch_size = batch_size
         self.img_size = img_size
+        self.flipud = flipud
+        self.fliplr = fliplr
+        self._aug_rng = np.random.default_rng(seed + 777)
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
@@ -65,8 +78,19 @@ class EventBatchLoader:
 
         samples = [self.ds[int(i)] for i in indices]
         ev = np.stack([s.events for s in samples])  # (B, 4, N)
+        labels_aug = []
+        for bi, s in enumerate(samples):
+            lab = s.labels.copy()
+            n = s.num_events
+            if self.fliplr and self._aug_rng.random() < self.fliplr:
+                ev[bi, 0, :n] = self.ds.width - 1 - ev[bi, 0, :n]
+                lab[: s.num_labels, 1] = 1 - lab[: s.num_labels, 1]
+            if self.flipud and self._aug_rng.random() < self.flipud:
+                ev[bi, 1, :n] = self.ds.height - 1 - ev[bi, 1, :n]
+                lab[: s.num_labels, 2] = 1 - lab[: s.num_labels, 2]
+            labels_aug.append(lab)
         num = np.array([s.num_events for s in samples], np.int32)
-        labels = np.stack([s.labels for s in samples])  # (B, M, 5)
+        labels = np.stack(labels_aug)  # (B, M, 5)
         nl = np.array([s.num_labels for s in samples], np.int32)
         mask = np.arange(labels.shape[1])[None, :] < nl[:, None]
         blocks = EventBlock(

@@ -64,8 +64,10 @@ class Trainer:
         ne = num_events or data.get("num_events", 50000)
         self.train_ds = Gen1H5(data_root, task="train", num_events=ne)
         self.val_ds = Gen1H5(data_root, task="val", num_events=ne)
+        aug = cfg.get("data_aug", {})
         self.train_loader = EventBatchLoader(
-            self.train_ds, batch_size, img_size=img_size, shuffle=True, seed=seed
+            self.train_ds, batch_size, img_size=img_size, shuffle=True, seed=seed,
+            flipud=aug.get("flipud", 0.0), fliplr=aug.get("fliplr", 0.0),
         )
         self.val_loader = EventBatchLoader(
             self.val_ds, batch_size, img_size=img_size, shuffle=False, drop_last=False

@@ -29,7 +29,7 @@ def gen1_shape():
 @pytest.fixture(
     scope="session",
     params=[
-        ("dense", 6000, 7),
+        ("dense", 2500, 7),
         ("sparse", 800, 11),
         ("tiny", 64, 13),
     ],

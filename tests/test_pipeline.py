@@ -103,3 +103,32 @@ def test_trainer_end_to_end(gen1_fixture):
     import pathlib
 
     assert (pathlib.Path("/tmp/ers_test_run") / "last_ckpt").exists()
+
+
+def test_loader_flip_augmentation(gen1_fixture):
+    """Event-space flips keep events and labels consistent: building the rep
+    from flipped events equals flipping the unaugmented rep image."""
+    from event_representation_study_tpu.data.gen1 import Gen1H5
+    from event_representation_study_tpu.data.loader import EventBatchLoader
+    from event_representation_study_tpu.reps import numpy_ref
+
+    ds = Gen1H5(gen1_fixture, task="train", num_events=1024, max_boxes=8)
+    ld = EventBatchLoader(ds, batch_size=2, img_size=128, shuffle=False,
+                          fliplr=1.0, seed=0)
+    batch, idx = next(iter(ld))
+    s = ds[int(idx[0])]
+    n = s.num_events
+    ev = np.zeros(n, dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i4"), ("p", "<i4")])
+    ev["x"] = ds.width - 1 - s.events[0, :n]
+    ev["y"] = s.events[1, :n]
+    ev["t"] = s.events[2, :n]
+    ev["p"] = s.events[3, :n]
+    want = numpy_ref.event_histogram_np(ev, ds.height, ds.width)
+    unflipped = ev.copy()
+    unflipped["x"] = s.events[0, :n]
+    base = numpy_ref.event_histogram_np(unflipped, ds.height, ds.width)
+    np.testing.assert_allclose(want, base[:, ::-1])
+    # labels flipped in x
+    lab0 = s.labels[: s.num_labels]
+    got = np.asarray(batch.gt_labels[0])  # classes unchanged
+    np.testing.assert_array_equal(got[: s.num_labels], lab0[:, 0].astype(np.int32))
