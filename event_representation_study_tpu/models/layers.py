@@ -203,9 +203,6 @@ class RepVGGBlock(nn.Module):
         return nn.relu(out)
 
 
-_BASIC_BLOCKS = {}
-
-
 def get_basic_block(mode: str):
     """training_mode -> stem/downsample block constructor
     (common.py:1060-1077 ``get_block``)."""

@@ -67,16 +67,6 @@ def _kl(p: VIParams, prior_std: float = 1.0):
     return kl
 
 
-def _sample_eps(rng, p: VIParams):
-    eps = []
-    for mu, rho in zip(p.mus, p.rhos):
-        rng, k = jax.random.split(rng)
-        eps.append(jax.random.normal(k, mu.shape))
-        rng, k = jax.random.split(rng)
-        eps.append(jnp.zeros(()))  # placeholder; bias eps appended below
-    return eps
-
-
 @functools.partial(jax.jit, static_argnames=("option_counts", "train_steps", "n_draws"))
 def fit_categorical_kernels(
     rng: jax.Array,
