@@ -30,6 +30,12 @@ def get_args_parser():
                    help="evaluation only (train.py --testing)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint to evaluate / resume from")
+    p.add_argument("--augment", action="store_true",
+                   help="enable the strong-augment recipe (mosaic/affine/"
+                        "flips/mixup) from the config's data_aug hyp")
+    p.add_argument("--stop-aug-last-n-epoch", type=int, default=15,
+                   help="zero mosaic/mixup for the last N epochs "
+                        "(engine.py:475-480)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--override", nargs="*", default=[],
                    help="dotted-key config overrides, e.g. model.depth_multiple=0.5")
@@ -55,16 +61,15 @@ def main(args=None):
         eval_interval=args.eval_interval,
         num_events=args.num_events,
         seed=args.seed,
+        augment=args.augment,
+        stop_aug_last_n_epoch=args.stop_aug_last_n_epoch,
     )
     if args.checkpoint:
-        from ..train.checkpoint import load_checkpoint
+        from ..train.checkpoint import restore_train_state
 
-        ckpt = load_checkpoint(args.checkpoint)
-        import jax
-
-        state_dict = ckpt["state"]
-        trainer.state = type(trainer.state)(**state_dict)
-        trainer.start_epoch = int(ckpt["epoch"]) + 1
+        trainer.state, trainer.start_epoch = restore_train_state(
+            args.checkpoint, trainer.state
+        )
 
     if args.testing:
         stats = trainer.evaler.run(

@@ -55,6 +55,28 @@ def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1, eps=1e-16):
     return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
 
 
+def transform_labels(labels: np.ndarray, M: np.ndarray, s: float,
+                     width: int, height: int) -> np.ndarray:
+    """The label half of random_affine (data_augment.py:128-151): map box
+    corners through M, re-box, clip, drop degenerate candidates."""
+    n = len(labels)
+    if not n:
+        return labels.reshape(0, 5)
+    labels = labels.copy()
+    xy = np.ones((n * 4, 3))
+    xy[:, :2] = labels[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+    xy = (xy @ M.T)[:, :2].reshape(n, 8)
+    x = xy[:, [0, 2, 4, 6]]
+    y = xy[:, [1, 3, 5, 7]]
+    new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+    new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+    new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+    keep = box_candidates(labels[:, 1:5].T * s, new.T, area_thr=0.1)
+    labels = labels[keep]
+    labels[:, 1:5] = new[keep]
+    return labels
+
+
 def random_affine(img, labels, degrees, translate, scale, shear,
                   new_shape: Tuple[int, int], rng: Optional[random.Random] = None):
     """img (H, W, C) float, labels (N, 5) [cls, x1, y1, x2, y2] absolute."""
@@ -65,27 +87,19 @@ def random_affine(img, labels, degrees, translate, scale, shear,
     if not np.allclose(M, np.eye(3)):
         if _ndi is not None:
             inv = np.linalg.inv(M)
+            # M is in (x, y) convention; scipy indexes (row=y, col=x)
+            mat = np.array([[inv[1, 1], inv[1, 0]], [inv[0, 1], inv[0, 0]]])
+            off = np.array([inv[1, 2], inv[0, 2]])
             out = np.empty((height, width, img.shape[2]), img.dtype)
             for c in range(img.shape[2]):
                 out[..., c] = _ndi.affine_transform(
-                    img[..., c], inv[:2, :2], offset=inv[:2, 2],
-                    output_shape=(height, width), order=1, mode="constant",
+                    img[..., c], mat, offset=off,
+                    output_shape=(height, width), order=1,
+                    mode="grid-constant",  # cv2 BORDER_CONSTANT edge blending
                     cval=PAD_VALUE,
                 )
             img = out
-    n = len(labels)
-    if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = labels[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
-        xy = (xy @ M.T)[:, :2].reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-        keep = box_candidates(labels[:, 1:5].T * s, new.T, area_thr=0.1)
-        labels = labels[keep]
-        labels[:, 1:5] = new[keep]
+    labels = transform_labels(labels, M, s, width, height)
     return img, labels
 
 
@@ -110,6 +124,149 @@ def flip_augment(img, labels_norm, flipud_p, fliplr_p, rng: Optional[random.Rand
         if len(labels_norm):
             labels_norm[:, 1] = 1 - labels_norm[:, 1]
     return np.ascontiguousarray(img), labels_norm
+
+
+def _mosaic_tiles(s: int, xc: int, yc: int):
+    """Canvas boxes + canvas->source offsets for 4 s-by-s tiles around
+    (xc, yc) — the placement math of data_augment.py:200-230 with h=w=s."""
+    w = h = s
+    geo = []
+    for i in range(4):
+        if i == 0:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif i == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, 2 * s), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif i == 2:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(2 * s, yc + h)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, 2 * s), min(2 * s, yc + h)
+            x1b, y1b = 0, 0
+        geo.append(((x1a, y1a, x2a, y2a), (x1a - x1b, y1a - y1b)))
+    return geo
+
+
+def _flip_compose(inv: np.ndarray, labels: np.ndarray, s: int,
+                  do_lr: bool, do_ud: bool):
+    """Fold post-affine flips (general_augment, gen1_2yolo.py:210-228) into
+    the inverse map and the label coordinates. The reference flips normalized
+    cxcywh by 1-c (a half-pixel off the np.flip pixel map — reproduced)."""
+    if do_lr:
+        F = np.array([[-1.0, 0, s - 1], [0, 1.0, 0], [0, 0, 1.0]])
+        inv = inv @ F
+        if len(labels):
+            x1, x2 = labels[:, 1].copy(), labels[:, 3].copy()
+            labels[:, 1], labels[:, 3] = s - x2, s - x1
+    if do_ud:
+        F = np.array([[1.0, 0, 0], [0, -1.0, s - 1], [0, 0, 1.0]])
+        inv = inv @ F
+        if len(labels):
+            y1, y2 = labels[:, 2].copy(), labels[:, 4].copy()
+            labels[:, 2], labels[:, 4] = s - y2, s - y1
+    return inv, labels
+
+
+def plan_augment_batch(
+    labels_list: Sequence[np.ndarray],  # per-sample (n, 5) abs xyxy, s-frame
+    img_size: int,
+    hyp: dict,
+    rng: np.random.Generator,
+    label_cap: int,
+):
+    """Plan the full strong-augment pipeline for one batch: mosaic routing,
+    random_affine matrices, flips and mixup — label math here on host, pixel
+    math on device via :func:`..ops.warp.compose_warp`.
+
+    Mirrors the reference composition order (datasets.py __getitem__ /
+    gen1_2yolo.py:365-390): [mosaic?] -> random_affine -> flips -> [mixup?].
+    Mosaic/mixup partners are drawn from the current batch (the reference
+    draws from the whole dataset — equivalent under a shuffled sampler).
+
+    Returns (plan_arrays: dict of numpy arrays matching AugPlan fields,
+    labels (B, label_cap, 5) abs xyxy, nl (B,) int32).
+    """
+    B = len(labels_list)
+    s = img_size
+    py_rng = random.Random(int(rng.integers(2**31)))
+    src_idx = np.tile(np.arange(B, dtype=np.int32)[:, None], (1, 4))
+    inv_aff = np.zeros((B, 2, 3), np.float32)
+    tile_boxes = np.zeros((B, 4, 4), np.float32)
+    tile_offsets = np.zeros((B, 4, 2), np.float32)
+    mix_idx = np.arange(B, dtype=np.int32)
+    mix_r = np.ones((B,), np.float32)
+    out_labels: list = []
+
+    for i in range(B):
+        use_mosaic = B >= 4 and rng.random() < hyp.get("mosaic", 0.0)
+        if use_mosaic:
+            partners = rng.choice(B, size=3, replace=False)
+            idxs = [i] + [int(p) for p in partners]
+            src_idx[i] = idxs
+            yc = int(py_rng.uniform(s // 2, 3 * s // 2))
+            xc = int(py_rng.uniform(s // 2, 3 * s // 2))
+            canvas_labels = []
+            for k, ((box), (offx, offy)) in enumerate(_mosaic_tiles(s, xc, yc)):
+                tile_boxes[i, k] = box
+                tile_offsets[i, k] = (offx, offy)
+                lab = labels_list[idxs[k]].copy()
+                if len(lab):
+                    lab[:, [1, 3]] += offx
+                    lab[:, [2, 4]] += offy
+                    canvas_labels.append(lab)
+            lab = (
+                np.concatenate(canvas_labels, 0)
+                if canvas_labels
+                else np.zeros((0, 5), np.float32)
+            )
+            lab[:, 1:] = lab[:, 1:].clip(0, 2 * s)
+            canvas_hw = (2 * s, 2 * s)
+        else:
+            tile_boxes[i, 0] = (0, 0, s, s)
+            lab = labels_list[i].copy()
+            canvas_hw = (s, s)
+
+        M, sc = get_transform_matrix(
+            canvas_hw, (s, s), hyp.get("degrees", 0.0), hyp.get("scale", 0.0),
+            hyp.get("shear", 0.0), hyp.get("translate", 0.0), py_rng,
+        )
+        lab = transform_labels(lab, M, sc, s, s)
+        lab[:, [1, 3]] = lab[:, [1, 3]].clip(0, s - 1e-3)
+        lab[:, [2, 4]] = lab[:, [2, 4]].clip(0, s - 1e-3)
+        inv = np.linalg.inv(M)
+        inv, lab = _flip_compose(
+            inv, lab, s,
+            do_lr=py_rng.random() < hyp.get("fliplr", 0.0),
+            do_ud=py_rng.random() < hyp.get("flipud", 0.0),
+        )
+        inv_aff[i] = inv[:2].astype(np.float32)
+        out_labels.append(lab)
+
+    # mixup blends two composed outputs (data_augment.py:87-93 beta(32,32));
+    # labels of the partner are appended
+    mixed_labels = [l.copy() for l in out_labels]
+    for i in range(B):
+        if B >= 2 and rng.random() < hyp.get("mixup", 0.0):
+            j = int(rng.integers(B))
+            mix_idx[i] = j
+            mix_r[i] = float(rng.beta(32.0, 32.0))
+            if len(out_labels[j]):
+                mixed_labels[i] = np.concatenate(
+                    [mixed_labels[i], out_labels[j]], 0
+                )
+
+    labels = np.zeros((B, label_cap, 5), np.float32)
+    nl = np.zeros((B,), np.int32)
+    for i, lab in enumerate(mixed_labels):
+        n = min(len(lab), label_cap)
+        labels[i, :n] = lab[:n]
+        nl[i] = n
+    plan = dict(
+        src_idx=src_idx, inv_affine=inv_aff, tile_boxes=tile_boxes,
+        tile_offsets=tile_offsets, mix_idx=mix_idx, mix_r=mix_r,
+    )
+    return plan, labels, nl
 
 
 def mosaic_augmentation(img_size: int, imgs: Sequence[np.ndarray],

@@ -34,20 +34,29 @@ class EventBatchLoader:
         num_shards: int = 1,
         flipud: float = 0.0,
         fliplr: float = 0.0,
+        hyp: Optional[dict] = None,
     ):
         """``flipud``/``fliplr`` enable the reference's geometric flip
         augmentation (gen1_2yolo.py:210-228) applied jointly to the event
         window and the normalized labels BEFORE the representation builds on
         device — flipping events is exactly equivalent to flipping the
         representation image for every kernel in reps/ (they are pure
-        functions of per-pixel event subsets). Image-space mosaic/mixup
-        (data/augment.py) operate on prebuilt images and plug in via
-        Batch.images."""
+        functions of per-pixel event subsets).
+
+        ``hyp`` enables the full strong-augment recipe (the reference's
+        --augment path, gen1_2yolo.py:365-390 + data_augment.py): the loader
+        plans mosaic/random_affine/flips/mixup geometry + label transforms on
+        host (data/augment.py plan_augment_batch) and ships an AugPlan the
+        train step executes on device. With ``hyp`` set, flips fold into the
+        plan and the ``flipud``/``fliplr`` args are ignored. The trainer's
+        stop-aug-last-N semantics (engine.py:475-480) mutate
+        ``hyp['mosaic']``/``hyp['mixup']`` in place."""
         self.ds = dataset
         self.batch_size = batch_size
         self.img_size = img_size
         self.flipud = flipud
         self.fliplr = fliplr
+        self.hyp = dict(hyp) if hyp else None
         self._aug_rng = np.random.default_rng(seed + 777)
         self.shuffle = shuffle
         self.seed = seed
@@ -78,6 +87,39 @@ class EventBatchLoader:
 
         samples = [self.ds[int(i)] for i in indices]
         ev = np.stack([s.events for s in samples])  # (B, 4, N)
+        from ..ops.image import letterbox_labels
+
+        if self.hyp is not None:
+            from ..ops.warp import AugPlan
+            from .augment import plan_augment_batch
+
+            num = np.array([s.num_events for s in samples], np.int32)
+            blocks = EventBlock(
+                x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
+            )
+            abs_labels = [
+                letterbox_labels(
+                    s.labels[: s.num_labels], self.ds.height, self.ds.width,
+                    self.img_size,
+                )
+                for s in samples
+            ]
+            cap = samples[0].labels.shape[0]
+            cap *= 4 if self.hyp.get("mosaic", 0.0) > 0 else 1
+            cap *= 2 if self.hyp.get("mixup", 0.0) > 0 else 1
+            plan, labels, nl = plan_augment_batch(
+                abs_labels, self.img_size, self.hyp, self._aug_rng, cap
+            )
+            mask = np.arange(cap)[None, :] < nl[:, None]
+            return Batch(
+                images=None,
+                events=blocks,
+                gt_labels=labels[..., 0].astype(np.int32),
+                gt_bboxes=labels[..., 1:5].astype(np.float32),
+                gt_mask=mask.astype(np.float32),
+                aug=AugPlan(**plan),
+            ), np.array([s.index for s in samples])
+
         labels_aug = []
         for bi, s in enumerate(samples):
             lab = s.labels.copy()
@@ -98,8 +140,6 @@ class EventBatchLoader:
         )
         # normalized cxcywh -> absolute xyxy in the letterboxed model frame
         # (the label path of gen1_2yolo.py:348-362)
-        from ..ops.image import letterbox_labels
-
         lb = np.stack(
             [
                 letterbox_labels(l, self.ds.height, self.ds.width, self.img_size)

@@ -20,6 +20,7 @@ import optax
 
 from ..events.core import EventBlock
 from ..ops.image import letterbox_image
+from ..ops.warp import AugPlan, compose_warp
 from ..reps.dispatch import batched_representation, build_representation
 from ..train.ema import EMAState, ema_init, ema_update
 from ..train.losses import LossConfig, detection_loss
@@ -42,6 +43,10 @@ class Batch(NamedTuple):
     gt_labels: jnp.ndarray  # (B, M)
     gt_bboxes: jnp.ndarray  # (B, M, 4) xyxy pixels in model input scale
     gt_mask: jnp.ndarray  # (B, M)
+    # strong augmentation (mosaic/affine/flip/mixup) executed on device —
+    # host plans geometry + labels (data/augment.py plan_augment_batch),
+    # device warps pixels (ops/warp.py compose_warp). None = no strong aug.
+    aug: Optional[AugPlan] = None
 
 
 def make_train_step(
@@ -65,9 +70,14 @@ def make_train_step(
             return batch.images
         # on-device: rep at sensor resolution -> letterbox to the model frame
         # (same geometry as the label path; pad 114, then /255 like
-        # engine.py:628-635 prepro_data)
+        # engine.py:628-635 prepro_data). Strong aug (mosaic/affine/flips/
+        # mixup) warps the 0-255 letterboxed image, matching the reference's
+        # pre-/255 augmentation order (gen1_2yolo.py:365-390).
         reps = rep_fn(batch.events)
-        return letterbox_image(reps, img_size) / 255.0
+        img = letterbox_image(reps, img_size)
+        if batch.aug is not None:
+            img = compose_warp(img, batch.aug, img_size)
+        return img / 255.0
 
     def loss_fn(params, batch_stats, batch: Batch, epoch):
         imgs = images_of(batch)

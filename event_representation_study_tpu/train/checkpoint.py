@@ -35,9 +35,36 @@ def save_checkpoint(path, state, epoch: int, extra: Optional[dict] = None):
     ckptr.save(path, ckpt, force=True)
 
 
-def load_checkpoint(path):
+def load_checkpoint(path, template: Optional[Any] = None):
+    """Restore a checkpoint. With ``template`` (a live pytree of the same
+    structure — e.g. ``{"state": trainer.state, "epoch": 0, "extra": {}}``)
+    the restored tree keeps the template's container types (TrainState /
+    EMAState NamedTuples, optax MultiSteps/inject_hyperparams states), which
+    a raw restore flattens to dicts — the round trip the reference gets for
+    free from torch pickles (engine.py:98-108)."""
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(pathlib.Path(path).absolute())
+    path = pathlib.Path(path).absolute()
+    if template is None:
+        return ckptr.restore(path)
+    template = _to_host(template)
+    return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=template))
+
+
+def restore_train_state(path, state, epoch: int = 0):
+    """Resume helper: returns (state, start_epoch) with ``state``'s exact
+    pytree structure preserved (engine.py:98-108 resume semantics). The
+    template mirrors the saved layout (state._asdict()), so the inner
+    EMAState / optax state containers survive the round trip."""
+    template = {
+        "state": state._asdict() if hasattr(state, "_asdict") else state,
+        "epoch": epoch,
+        "extra": {},
+    }
+    ckpt = load_checkpoint(path, template=template)
+    restored = ckpt["state"]
+    if hasattr(state, "_asdict") and isinstance(restored, dict):
+        restored = type(state)(**restored)
+    return restored, int(ckpt["epoch"]) + 1
 
 
 def strip_optimizer(path, out_path):

@@ -27,11 +27,17 @@ from ..parallel.train_step import (
     init_train_state,
     make_train_step,
 )
+from ..reps.dispatch import REPRESENTATION_CHANNELS
 from ..utils.logging import get_logger
 from .checkpoint import save_checkpoint
 from .evaler import Evaler
 from .losses import LossConfig
-from .optim import SolverConfig, build_optimizer
+from .optim import (
+    SolverConfig,
+    accumulation_steps,
+    build_optimizer,
+    with_accumulation,
+)
 
 LOGGER = get_logger("engine")
 
@@ -49,6 +55,9 @@ class Trainer:
         eval_interval_first: int = 20,
         num_events: Optional[int] = None,
         seed: int = 0,
+        augment: bool = False,
+        stop_aug_last_n_epoch: int = 15,
+        nominal_batch_size: int = 64,
     ):
         self.cfg = cfg
         self.epochs = epochs
@@ -57,6 +66,7 @@ class Trainer:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.eval_interval = eval_interval
         self.eval_interval_first = eval_interval_first
+        self.stop_aug_last_n_epoch = stop_aug_last_n_epoch
 
         data = cfg.get("data", {})
         self.representation = data.get("representation", "OptimizedRepresentation")
@@ -65,9 +75,12 @@ class Trainer:
         self.train_ds = Gen1H5(data_root, task="train", num_events=ne)
         self.val_ds = Gen1H5(data_root, task="val", num_events=ne)
         aug = cfg.get("data_aug", {})
+        # --augment enables the full recipe (mosaic/affine/flips/mixup)
+        # planned on host, executed on device (train.py --augment semantics)
         self.train_loader = EventBatchLoader(
             self.train_ds, batch_size, img_size=img_size, shuffle=True, seed=seed,
             flipud=aug.get("flipud", 0.0), fliplr=aug.get("fliplr", 0.0),
+            hyp=dict(aug) if augment else None,
         )
         self.val_loader = EventBatchLoader(
             self.val_ds, batch_size, img_size=img_size, shuffle=False, drop_last=False
@@ -75,6 +88,10 @@ class Trainer:
 
         self.model = build_model(cfg, num_classes=nc)
         solver = cfg.get("solver", {})
+        # gradient accumulation to the nominal effective batch
+        # (engine.py:526: accumulate = max(1, round(64/batch))); schedules
+        # count optimizer *updates*, so steps_per_epoch shrinks by k
+        self.accumulate = accumulation_steps(batch_size, nominal_batch_size)
         self.solver_cfg = SolverConfig(
             lr0=solver.get("lr0", 0.0032),
             lrf=solver.get("lrf", 0.12),
@@ -84,7 +101,7 @@ class Trainer:
             warmup_momentum=solver.get("warmup_momentum", 0.5),
             warmup_bias_lr=solver.get("warmup_bias_lr", 0.05),
             epochs=epochs,
-            steps_per_epoch=max(len(self.train_loader), 1),
+            steps_per_epoch=max(len(self.train_loader) // self.accumulate, 1),
             batch_size=batch_size,
         )
         head = cfg["model"]["head"]
@@ -97,15 +114,21 @@ class Trainer:
             warmup_epoch=head.get("atss_warmup_epoch", 4),
         )
 
-        dummy = jnp.zeros((batch_size, img_size, img_size, 12))
+        # input channels follow the representation (engine.py:64-67: 2 for
+        # EventHistogram, else 12)
+        channels = REPRESENTATION_CHANNELS.get(self.representation, 12)
+        dummy = jnp.zeros((batch_size, img_size, img_size, channels))
         import functools
 
-        self.tx = build_optimizer(
-            jax.eval_shape(
-                functools.partial(self.model.init, train=True),
-                jax.random.PRNGKey(0), dummy,
-            )["params"],
-            self.solver_cfg,
+        self.tx = with_accumulation(
+            build_optimizer(
+                jax.eval_shape(
+                    functools.partial(self.model.init, train=True),
+                    jax.random.PRNGKey(0), dummy,
+                )["params"],
+                self.solver_cfg,
+            ),
+            self.accumulate,
         )
         import math
 
@@ -137,9 +160,22 @@ class Trainer:
             or epoch == self.epochs - 1
         )
 
+    def prepare_for_epoch(self, epoch: int):
+        """Stop strong aug (mosaic/mixup) for the last N epochs — the
+        reference rebuilds the dataloader with zeroed hyp (engine.py:475-480);
+        our loader reads the hyp per batch, so zeroing in place suffices."""
+        if (
+            epoch == self.epochs - self.stop_aug_last_n_epoch
+            and self.train_loader.hyp is not None
+        ):
+            self.train_loader.hyp["mosaic"] = 0.0
+            self.train_loader.hyp["mixup"] = 0.0
+            LOGGER.info("epoch %d: strong aug (mosaic/mixup) stopped", epoch)
+
     def train(self):
         with self.mesh:
             for epoch in range(self.start_epoch, self.epochs):
+                self.prepare_for_epoch(epoch)
                 t0 = time.time()
                 losses = []
                 for batch, _ in self.train_loader:

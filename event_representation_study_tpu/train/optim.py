@@ -68,7 +68,12 @@ def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
         return jnp.where(step < warmup_steps, m, cfg.momentum)
 
     def sgd_group(group: str, decay: float):
-        chain = [optax.trace(decay=cfg.momentum, nesterov=True)]
+        # momentum ramps from warmup_momentum like the reference's per-step
+        # interpolation (engine.py:548-552) — injected as a live hyperparam
+        trace = optax.inject_hyperparams(
+            lambda decay_m: optax.trace(decay=decay_m, nesterov=True)
+        )(decay_m=momentum_sched)
+        chain = [trace]
         if decay > 0:
             chain.insert(0, optax.add_decayed_weights(decay))
         chain.append(optax.scale_by_schedule(lambda s: -1.0))
@@ -90,3 +95,42 @@ def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
 def accumulation_steps(batch_size: int, nominal: int = 64) -> int:
     """engine.py:526: effective batch 64 via accumulation."""
     return max(1, round(nominal / batch_size))
+
+
+def with_accumulation(
+    tx: optax.GradientTransformation, k: int
+) -> optax.GradientTransformation:
+    """Gradient accumulation to the nominal effective batch
+    (engine.py:526-547): average gradients over ``k`` microsteps, apply the
+    inner update every k-th. optax.MultiSteps keeps the schedules' step count
+    in *updates* (the reference counts microsteps — SolverConfig.
+    steps_per_epoch must therefore be given in updates/epoch when k > 1)."""
+    if k <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=k)
+
+
+def find_momentum(opt_state) -> float:
+    """Dig the live momentum (trace decay) hyperparam out of a state tree —
+    for tests/telemetry of the warmup curve."""
+    found = []
+
+    def walk(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "decay_m" in hp:
+            found.append(float(hp["decay_m"]))
+            return
+        if hasattr(node, "_fields"):
+            for f in node._fields:
+                walk(getattr(node, f))
+        elif isinstance(node, (list, tuple)):
+            for c in node:
+                walk(c)
+        elif isinstance(node, dict):
+            for c in node.values():
+                walk(c)
+
+    walk(opt_state)
+    if not found:
+        raise ValueError("no injected momentum hyperparam in this opt_state")
+    return found[0]
