@@ -15,13 +15,15 @@ network despite its name (swin_transformer_v2.py:1232).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.image import letterbox_image
 from .backbones import CSPBackboneP6, EfficientRep, EfficientRep6
 from .heads import EffiDeHead
+from .learned_repr import QuantizationLayer
 from .necks import CSPRepBiFPANNeck, CSPRepBiFPANNeck_P6
 
 BACKBONES = {
@@ -55,9 +57,25 @@ class Detector(nn.Module):
     csp_e: float = 0.5
     basic_mode: str = "conv_silu"
     dtype: Any = jnp.float32
+    # learned representation (EST): when set, __call__ takes raw EventBlocks,
+    # runs a trainable QuantizationLayer (2*bins channels) + on-device
+    # letterbox before the backbone — the reference's hook of yolo.py:56-67
+    # with learned_repr.py:96-141's GPU letterbox; NO /255 on this path
+    # (engine.py:628-635, evaler.py:126-132)
+    quantization_bins: Optional[int] = None
+    sensor_hw: Tuple[int, int] = (240, 304)
+    img_size: int = 640
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.quantization_bins is not None:
+            x = QuantizationLayer(
+                num_bins=self.quantization_bins,
+                height=self.sensor_hw[0],
+                width=self.sensor_hw[1],
+                name="quantization",
+            )(x)
+            x = letterbox_image(x, self.img_size, pad_value=0.0)
         backbone_cls = BACKBONES[self.backbone_name]
         if backbone_cls is CSPBackboneP6:
             backbone = backbone_cls(
@@ -102,10 +120,16 @@ def build_model(
     num_classes: int,
     num_channels: int = 12,
     dtype: Any = jnp.float32,
+    representation: Optional[str] = None,
+    img_size: Optional[int] = None,
 ) -> Detector:
     """Build from an experiment-config dict (utils/config.py surface;
     reference build path yolo.py:91-222). ``cfg['model']`` must carry
-    backbone/neck/head sub-dicts like configs/swinv2_yolov6l6_finetune.py."""
+    backbone/neck/head sub-dicts like configs/swinv2_yolov6l6_finetune.py.
+
+    ``representation='LearnedRepresentation'`` hooks the trainable
+    QuantizationLayer before the backbone (yolo.py:56-67; bins=6 -> 12
+    channels like the reference's dim=(6,240,304))."""
     m = cfg["model"]
     depth_mul = m.get("depth_multiple", 1.0)
     width_mul = m.get("width_multiple", 1.0)
@@ -119,7 +143,12 @@ def build_model(
     ]
     head_in = [_scale(c, width_mul) for c in hd["in_channels"]]
     del num_channels  # input channels are inferred from the input tensor
+    data = cfg.get("data", {})
+    learned = representation == "LearnedRepresentation"
     return Detector(
+        quantization_bins=6 if learned else None,
+        sensor_hw=(data.get("height", 240), data.get("width", 304)),
+        img_size=img_size or data.get("img_size", 640),
         backbone_name=bb["type"],
         neck_name=nk["type"],
         channels_list=channels,

@@ -63,9 +63,18 @@ def make_train_step(
     (eliminating the reference's CPU worker path, gen1_2yolo.py:287-304)."""
 
     H, W = rep_hw
-    rep_fn = batched_representation(representation, H, W) if representation else None
+    learned = representation == "LearnedRepresentation"
+    rep_fn = (
+        batched_representation(representation, H, W)
+        if representation and not learned
+        else None
+    )
 
     def images_of(batch: Batch):
+        if learned:
+            # raw events feed the model's trainable QuantizationLayer
+            # (yolo.py:56-67); no /255 on this path (engine.py:628-635)
+            return batch.events
         if batch.images is not None:
             return batch.images
         # on-device: rep at sensor resolution -> letterbox to the model frame
@@ -121,9 +130,18 @@ def make_train_step(
 def make_eval_step(model, representation: Optional[str] = None,
                    rep_hw: Tuple[int, int] = (240, 304), img_size: int = 640):
     H, W = rep_hw
-    rep_fn = batched_representation(representation, H, W) if representation else None
+    learned = representation == "LearnedRepresentation"
+    rep_fn = (
+        batched_representation(representation, H, W)
+        if representation and not learned
+        else None
+    )
 
     def eval_step(variables, batch: Batch):
+        if learned:
+            # quantization layer inside the model; skip /255
+            # (evaler.py:126-132, 162-164)
+            return model.apply(variables, batch.events, False)
         if batch.images is not None:
             imgs = batch.images
         else:

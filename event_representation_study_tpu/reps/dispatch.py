@@ -37,6 +37,8 @@ REPRESENTATION_CHANNELS: Dict[str, int] = {
     "EventHistogram": 2,
     "TORE": 12,
     "TimeSurface": 12,
+    # model-side trainable quantization (models/learned_repr.py): 2*6 bins
+    "LearnedRepresentation": 12,
 }
 
 

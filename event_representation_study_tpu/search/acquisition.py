@@ -47,8 +47,7 @@ def random_feasible(
 
 
 def optimize_acquisition(
-    model: KernelModel,
-    lam: float,
+    acq,
     option_counts: Sequence[int],
     rng: np.random.Generator,
     known_constraints=None,
@@ -57,15 +56,27 @@ def optimize_acquisition(
     mutation_rate: float = 0.2,
     elite_frac: float = 0.2,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Minimize (num + lam) * inv_den over the categorical grid; returns
-    (sorted candidates, their acquisition values)."""
+    """Minimize an acquisition over the categorical grid; ``acq`` is either a
+    callable mapping (S, D) int candidates -> (S,) values, or a
+    (KernelModel, lambda) pair for the plain (num + lam) * inv_den
+    acquisition. Returns (sorted candidates, their acquisition values)."""
     import jax.numpy as jnp
+
+    if isinstance(acq, tuple):
+        model, lam = acq
+
+        def acq_fn(p):
+            return np.asarray(
+                acquisition_values(model, jnp.asarray(p), jnp.float32(lam))
+            )
+    else:
+        acq_fn = acq
 
     pop = random_feasible(rng, option_counts, population, known_constraints)
     counts = np.asarray(option_counts)
 
     def evaluate(p):
-        return np.asarray(acquisition_values(model, jnp.asarray(p), jnp.float32(lam)))
+        return np.asarray(acq_fn(p))
 
     vals = evaluate(pop)
     n_elite = max(int(elite_frac * population), 1)

@@ -73,3 +73,27 @@ def regression_surrogate(model: KernelModel, samples: jnp.ndarray):
     num = probs @ model.objs
     den = jnp.sum(probs, axis=-1)
     return num / (den + 1e-12)
+
+
+@jax.jit
+def kernel_density(model: KernelModel, samples: jnp.ndarray):
+    """Mean kernel density of a candidate under the model's observation set
+    (kernel_evaluations.pyx:218-245 get_kernel_density)."""
+    probs = categorical_probs(model, samples)  # (S, obs)
+    return jnp.mean(probs, axis=-1)
+
+
+def feasibility_posterior(
+    feas_model: KernelModel,
+    infeas_model: KernelModel,
+    samples: jnp.ndarray,
+    prior_infeas: float,
+):
+    """p(infeasible | x) via Bayes over the two kernel densities
+    (kernel_evaluations.pyx:247-293 posterior; bayesian_network.py:128-140
+    prior split)."""
+    d_feas = kernel_density(feas_model, samples)
+    d_infeas = kernel_density(infeas_model, samples)
+    num = prior_infeas * d_infeas
+    den = (1.0 - prior_infeas) * d_feas + num
+    return num / (den + 1e-12)

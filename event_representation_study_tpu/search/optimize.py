@@ -22,14 +22,24 @@ from .gryffin import CategoricalParam, Gryffin
 WINDOW_OPTIONS = [str(i) for i in range(7)]
 
 
+# The study's exact function->allowed-aggregations table
+# (optimization.py:148-165 known_constraints_cat): count-like functions are
+# restricted to {mean, sum} (their variance is 0 and max is uninformative),
+# polarity may not use max.
+POSSIBLE_SCENARIOS: Dict[str, List[str]] = {
+    "timestamp": ["variance", "mean", "max", "sum"],
+    "polarity": ["mean", "variance", "sum"],
+    "count": ["mean", "sum"],
+    "timestamp_pos": ["variance", "mean", "max", "sum"],
+    "timestamp_neg": ["variance", "mean", "max", "sum"],
+    "count_pos": ["mean", "sum"],
+    "count_neg": ["mean", "sum"],
+}
+
+
 def default_known_constraints(params: Dict) -> bool:
-    """The study's constraint table: count-like functions cannot use
-    variance aggregation etc. (optimization.py:148-165 known_constraints_cat
-    — re-derived: variance of a constant-1 measurement is identically 0,
-    so 'count*' x 'variance' combinations are excluded)."""
-    if params["function"].startswith("count") and params["aggregation"] == "variance":
-        return False
-    return True
+    """known_constraints_cat (optimization.py:148-165), verbatim table."""
+    return params["aggregation"] in POSSIBLE_SCENARIOS[params["function"]]
 
 
 def search_space() -> List[CategoricalParam]:

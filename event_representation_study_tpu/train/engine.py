@@ -86,7 +86,16 @@ class Trainer:
             self.val_ds, batch_size, img_size=img_size, shuffle=False, drop_last=False
         )
 
-        self.model = build_model(cfg, num_classes=nc)
+        self.learned = self.representation == "LearnedRepresentation"
+        if self.learned and augment:
+            raise ValueError(
+                "strong aug warps representation images; the learned "
+                "representation consumes raw events (use flips only)"
+            )
+        self.model = build_model(
+            cfg, num_classes=nc, representation=self.representation,
+            img_size=img_size,
+        )
         solver = cfg.get("solver", {})
         # gradient accumulation to the nominal effective batch
         # (engine.py:526: accumulate = max(1, round(64/batch))); schedules
@@ -115,9 +124,17 @@ class Trainer:
         )
 
         # input channels follow the representation (engine.py:64-67: 2 for
-        # EventHistogram, else 12)
-        channels = REPRESENTATION_CHANNELS.get(self.representation, 12)
-        dummy = jnp.zeros((batch_size, img_size, img_size, channels))
+        # EventHistogram, else 12); the learned path initializes from a raw
+        # event block (the model quantizes internally)
+        if self.learned:
+            from ..events.core import EventBlock
+
+            z = jnp.zeros((batch_size, min(ne, 4096)), jnp.int32)
+            dummy = EventBlock(x=z, y=z, t=z, p=z + 1,
+                               num=jnp.full((batch_size,), 1, jnp.int32))
+        else:
+            channels = REPRESENTATION_CHANNELS.get(self.representation, 12)
+            dummy = jnp.zeros((batch_size, img_size, img_size, channels))
         import functools
 
         self.tx = with_accumulation(

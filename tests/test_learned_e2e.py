@@ -1,0 +1,151 @@
+"""LearnedRepresentation (EST) end-to-end in the detector (yolo.py:56-67
+hook), plus the per-representation channel plumbing: every representation —
+including 2-channel EventHistogram and the learned path — must train.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+TINY = ["model.depth_multiple=0.2", "model.width_multiple=0.125"]
+
+
+@pytest.fixture(scope="module")
+def gen1_fixture(tmp_path_factory):
+    from event_representation_study_tpu.data.gen1 import write_gen1_fixture
+
+    root = tmp_path_factory.mktemp("gen1lr")
+    for split in ("training.h5", "validation.h5"):
+        write_gen1_fixture(root / split, num_files=2, boxes_per_file=4,
+                           events_per_file=3000, seed=hash(split) % 1000)
+    return root
+
+
+def _tiny_cfg(representation):
+    from event_representation_study_tpu.utils.config import load_config
+
+    cfg = load_config("configs/gen1_optimized.py", overrides=TINY)
+    cfg["data"]["representation"] = representation
+    return cfg
+
+
+def test_learned_repr_grads_flow(gen1_fixture):
+    """Value-layer gradients are nonzero through rep->backbone->loss — the
+    reference trains the quantization end to end (yolo.py:56-67)."""
+    from event_representation_study_tpu.data.gen1 import Gen1H5
+    from event_representation_study_tpu.data.loader import EventBatchLoader
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.train.losses import LossConfig, detection_loss
+
+    cfg = _tiny_cfg("LearnedRepresentation")
+    model = build_model(cfg, num_classes=2,
+                        representation="LearnedRepresentation", img_size=64)
+    ds = Gen1H5(gen1_fixture, task="train", num_events=512, max_boxes=8)
+    ld = EventBatchLoader(ds, batch_size=2, img_size=64, shuffle=False)
+    batch, _ = next(iter(ld))
+    # synthetic well-posed target so the assigner yields positives (epoch 0
+    # -> ATSS, geometry-driven) and iou/dfl gradients reach the value layer
+    gt_b = np.zeros_like(np.asarray(batch.gt_bboxes))
+    gt_b[:, 0] = [8, 8, 44, 44]
+    batch = batch._replace(
+        gt_bboxes=gt_b,
+        gt_mask=np.zeros_like(np.asarray(batch.gt_mask)),
+    )
+    batch = batch._replace(gt_mask=batch.gt_mask.copy())
+    batch.gt_mask[:, 0] = 1.0
+    batch = jax.device_put(batch)
+
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        jax.random.PRNGKey(0), batch.events
+    )
+    loss_cfg = LossConfig(num_classes=2)
+
+    def loss_fn(params):
+        (feats, cls, reg), _ = model.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            batch.events, True, mutable=["batch_stats"],
+        )
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        loss, _ = detection_loss(
+            (feats, cls, reg), batch.gt_labels, batch.gt_bboxes, batch.gt_mask,
+            feat_shapes, jnp.int32(0), loss_cfg,
+        )
+        return loss
+
+    # cls/reg pred kernels are zero-initialized like the reference
+    # (effidehead.py:60-87), so no gradient passes them at step 0; take one
+    # SGD step first, then assert end-to-end flow into the value layer
+    gfun = jax.jit(jax.grad(loss_fn))
+    p = variables["params"]
+    p = jax.tree.map(lambda a, b: a - 0.05 * b, p, gfun(p))
+    g = gfun(p)
+    gq = g["quantization"]["value_layer"]
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(gq))
+    assert np.isfinite(total) and total > 0.0
+    gb = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["backbone"]))
+    assert gb > 0.0
+
+
+def test_learned_repr_trainer_and_eval(gen1_fixture):
+    """Trainer + Evaler run the learned path (raw events, no /255)."""
+    from event_representation_study_tpu.train.engine import Trainer
+
+    cfg = _tiny_cfg("LearnedRepresentation")
+    tr = Trainer(cfg, gen1_fixture, batch_size=2, epochs=1, img_size=64,
+                 output_dir="/tmp/ers_test_learned", eval_interval=1,
+                 num_events=512)
+    tr.train()
+    stats = tr.evaler.run(tr.state.ema.variables)
+    assert np.isfinite(stats["AP"])
+
+
+def test_event_histogram_trains(gen1_fixture):
+    """The r1 crash case: 2-channel representation must train (reference
+    channel rule engine.py:64-67)."""
+    from event_representation_study_tpu.train.engine import Trainer
+
+    cfg = _tiny_cfg("EventHistogram")
+    tr = Trainer(cfg, gen1_fixture, batch_size=2, epochs=1, img_size=64,
+                 output_dir="/tmp/ers_test_hist", eval_interval=1,
+                 num_events=512)
+    tr.train()
+
+
+@pytest.mark.parametrize(
+    "rep", ["VoxelGrid", "EventStack", "TORE", "TimeSurface",
+            "MixedDensityEventStack"],
+)
+def test_train_step_per_representation(gen1_fixture, rep):
+    """One fused train step per remaining representation (ERGO-12 and the
+    2-ch/learned paths covered above)."""
+    from event_representation_study_tpu.data.gen1 import Gen1H5
+    from event_representation_study_tpu.data.loader import EventBatchLoader
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.reps.dispatch import REPRESENTATION_CHANNELS
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
+
+    cfg = _tiny_cfg(rep)
+    model = build_model(cfg, num_classes=2)
+    ds = Gen1H5(gen1_fixture, task="train", num_events=512, max_boxes=8)
+    ld = EventBatchLoader(ds, batch_size=2, img_size=64, shuffle=False)
+    batch, _ = next(iter(ld))
+    dummy = jnp.zeros((2, 64, 64, REPRESENTATION_CHANNELS[rep]))
+    tx = build_optimizer(
+        jax.eval_shape(
+            functools.partial(model.init, train=True), jax.random.PRNGKey(0), dummy
+        )["params"],
+        SolverConfig(steps_per_epoch=2, epochs=1, batch_size=2),
+    )
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    step = make_train_step(model, LossConfig(num_classes=2), tx,
+                           representation=rep, rep_hw=(ds.height, ds.width),
+                           img_size=64, donate=False)
+    state, parts = step(state, jax.device_put(batch), jnp.int32(0))
+    assert np.isfinite(float(parts["loss"]))
