@@ -8,6 +8,16 @@ batched XLA kernel density (kernels.py, with a host C twin in native/), and
 a vectorized GA acquisition (acquisition.py). Sampling strategies are the
 reference's alternating lambda values (+1 exploit / -1 explore scaled by the
 objective range, gryffin's AcquisitionFunction blending).
+
+Feasibility handling follows the reference:
+- the feasible-volume fraction is estimated by constrained sampling
+  (gryffin.py:70-92 estimate_feas_fraction) and scales inv_vol;
+- observations whose objective is NaN are *measured infeasible* points; with
+  any present, the acquisition becomes the FIA blend
+  ``w * p(infeasible|x) + (1-w) * acq_norm`` with ``w = frac_infeasible``
+  (acquisition.py:689-792 _fia_acquisition, feas_param=1.0), where
+  p(infeasible|x) is the Bayes posterior over the two kernel densities
+  (kernel_evaluations.pyx:247-293).
 """
 from __future__ import annotations
 
@@ -33,6 +43,7 @@ class Gryffin:
         num_random: int = 2,
         bnn_train_steps: int = 500,
         bnn_draws: int = 200,
+        feas_param: float = 1.0,
     ):
         self.params = list(parameters)
         self.objective = objective
@@ -41,8 +52,10 @@ class Gryffin:
         self.num_random = num_random
         self.bnn_train_steps = bnn_train_steps
         self.bnn_draws = bnn_draws
+        self.feas_param = feas_param
         self.option_counts = tuple(len(p.options) for p in self.params)
         self._seed = random_seed
+        self._feas_frac: Optional[float] = None
 
     # -- encoding ----------------------------------------------------------
     def _encode(self, obs: Dict) -> np.ndarray:
@@ -58,6 +71,21 @@ class Gryffin:
             return None
         return lambda v: self.known_constraints(self._decode(v))
 
+    def feasible_fraction(self, n_samples: int = 2048) -> float:
+        """Monte-Carlo estimate of the feasible-volume fraction
+        (gryffin.py:70-92 / utilities estimate_feas_fraction)."""
+        if self.known_constraints is None:
+            return 1.0
+        if self._feas_frac is None:
+            rng = np.random.default_rng(self._seed + 12345)
+            cand = np.stack(
+                [rng.integers(0, c, n_samples) for c in self.option_counts],
+                axis=-1,
+            )
+            ok = np.array([self.known_constraints(self._decode(v)) for v in cand])
+            self._feas_frac = float(max(ok.mean(), 1.0 / n_samples))
+        return self._feas_frac
+
     # -- main API ----------------------------------------------------------
     def recommend(
         self,
@@ -68,8 +96,10 @@ class Gryffin:
         from .acquisition import optimize_acquisition, random_feasible, select_diverse
 
         n_batch = len(sampling_strategies)
-        valid = [o for o in observations if np.isfinite(o.get(objective_key, np.nan))]
-        if len(valid) < self.num_random:
+        scored = [o for o in observations if objective_key in o]
+        feas = [o for o in scored if np.isfinite(o.get(objective_key, np.nan))]
+        infeas = [o for o in scored if not np.isfinite(o.get(objective_key, np.nan))]
+        if len(feas) < self.num_random:
             cand = random_feasible(
                 self.rng, self.option_counts, n_batch, self._constraint_vec()
             )
@@ -79,10 +109,19 @@ class Gryffin:
         import jax.numpy as jnp
 
         from .bnn import fit_categorical_kernels
-        from .kernels import KernelModel
+        from .kernels import (
+            KernelModel,
+            acquisition_values,
+            feasibility_posterior,
+        )
 
-        X = np.stack([self._encode(o) for o in valid])
-        y = np.array([float(o[objective_key]) for o in valid])
+        X_feas = np.stack([self._encode(o) for o in feas])
+        X_all = (
+            np.concatenate([X_feas, np.stack([self._encode(o) for o in infeas])])
+            if infeas
+            else X_feas
+        )
+        y = np.array([float(o[objective_key]) for o in feas])
         if self.objective == "max":
             y = -y
         # normalize objectives like gryffin's observation processor
@@ -90,28 +129,64 @@ class Gryffin:
         y_n = (y - y.min()) / (y_span if y_span > 0 else 1.0)
 
         cat_probs = fit_categorical_kernels(
-            jax.random.PRNGKey(self._seed + len(valid)),
-            jnp.asarray(X, jnp.int32),
+            jax.random.PRNGKey(self._seed + len(scored)),
+            jnp.asarray(X_all, jnp.int32),
             self.option_counts,
             train_steps=self.bnn_train_steps,
             n_draws=self.bnn_draws,
         )
         offsets = np.concatenate([[0], np.cumsum(self.option_counts)])[:-1]
-        feas_frac = 1.0
-        inv_vol = 1.0 / float(np.prod(self.option_counts)) / feas_frac
+        feas_frac = self.feasible_fraction()
+        inv_vol = 1.0 / (float(np.prod(self.option_counts)) * feas_frac)
+        nf = len(feas)
         model = KernelModel(
-            cat_probs=cat_probs,
+            cat_probs=cat_probs[:, :nf],
             offsets=jnp.asarray(offsets, jnp.int32),
             objs=jnp.asarray(y_n, jnp.float32),
             inv_vol=inv_vol,
         )
+        frac_infeas = len(infeas) / len(scored)
+        infeas_model = None
+        if infeas:
+            infeas_model = KernelModel(
+                cat_probs=cat_probs[:, nf:],
+                offsets=jnp.asarray(offsets, jnp.int32),
+                objs=jnp.zeros((len(infeas),), jnp.float32),
+                inv_vol=inv_vol,
+            )
+
+        # normalization range for the FIA blend, estimated over random
+        # feasible proposals (Acquisition.propose's acq_min/max estimate)
+        probe = random_feasible(
+            self.rng, self.option_counts, 256, self._constraint_vec()
+        )
 
         selected = []
-        prev = X
+        prev = X_all
         for lam_strategy in sampling_strategies:
             lam = float(lam_strategy)
+            if infeas_model is not None and 0.0 < frac_infeas < 1.0:
+                pv = np.asarray(
+                    acquisition_values(model, jnp.asarray(probe), jnp.float32(lam))
+                )
+                acq_min, acq_max = float(pv.min()), float(pv.max())
+                inv_range = 1.0 / max(acq_max - acq_min, 1e-9)
+                w = frac_infeas ** self.feas_param
+
+                def acq_fn(p, _lam=lam, _w=w, _a0=acq_min, _ir=inv_range):
+                    p = jnp.asarray(p)
+                    a = acquisition_values(model, p, jnp.float32(_lam))
+                    a = (a - _a0) * _ir
+                    pi = feasibility_posterior(
+                        model, infeas_model, p, frac_infeas
+                    )
+                    return np.asarray(_w * pi + (1.0 - _w) * a)
+
+                acq = acq_fn
+            else:
+                acq = (model, lam)
             cands, vals = optimize_acquisition(
-                model, lam, self.option_counts, self.rng, self._constraint_vec()
+                acq, self.option_counts, self.rng, self._constraint_vec()
             )
             pick = select_diverse(cands, vals, np.concatenate([prev] + [
                 np.asarray(selected).reshape(-1, len(self.params))

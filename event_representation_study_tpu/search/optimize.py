@@ -58,15 +58,32 @@ def sequential_optimization(
     known_constraints: Callable[[Dict], bool] = default_known_constraints,
     save_path: Optional[str] = None,
     verbose: bool = True,
+    bnn_train_steps: int = 2000,
+    bnn_draws: int = 1000,
+    db_path: Optional[str] = None,
+    db_format: str = "json",
 ) -> List[Tuple[int, str, str]]:
     """``measure(triples)`` scores a partial representation (lower=better,
-    e.g. mean OTMI over the chosen samples, optimization.py:116-145)."""
+    e.g. mean OTMI over the chosen samples, optimization.py:116-145).
+
+    Defaults follow the study's driver: gryffin at its reference surrogate
+    settings (2000 BNN train epochs, 1000 posterior draws,
+    utilities/defaults.py:48-58), seed 42, budget 100 per channel. Every
+    scored observation is appended to ``db_path`` (json/sqlite/pickle) like
+    gryffin's database handlers. Recommendations violating
+    ``known_constraints`` are rejected outright (the BO never scores them)."""
+    db = None
+    if db_path is not None:
+        from .db import DatabaseHandler
+
+        db = DatabaseHandler(db_path, format=db_format)
     fixed: List[Tuple[int, str, str]] = []
     best_observations = []
     for ch in range(channels):
         gryffin = Gryffin(
             search_space(), known_constraints=known_constraints,
             random_seed=seed + ch,
+            bnn_train_steps=bnn_train_steps, bnn_draws=bnn_draws,
         )
         observations: List[Dict] = []
         it = 0
@@ -75,9 +92,16 @@ def sequential_optimization(
             strategies = (-1, 1) if it % 2 == 0 else (1, -1)
             recs = gryffin.recommend(observations, sampling_strategies=strategies)
             for rec in recs:
+                if known_constraints is not None and not known_constraints(rec):
+                    raise AssertionError(
+                        f"BO recommended an excluded combination: {rec}"
+                    )
                 triple = (int(rec["window"]), rec["function"], rec["aggregation"])
                 c_p = measure(fixed + [triple])
-                observations.append(dict(rec, obj=c_p))
+                obs = dict(rec, obj=c_p, channel=ch)
+                observations.append(obs)
+                if db is not None:
+                    db.log_observations([obs])
                 it += 1
                 if it >= budget:
                     break

@@ -114,7 +114,95 @@ def test_sequential_channel_driver():
         return cost / max(len(triples), 1)
 
     fixed = sequential_optimization(
-        measure, channels=1, budget=30, seed=3, verbose=False
+        measure, channels=1, budget=30, seed=3, verbose=False,
+        bnn_train_steps=200, bnn_draws=100,
     )
     w, f, a = fixed[0]
     assert abs(w - 3) <= 1 and f == "count" and a == "sum", fixed
+
+
+def test_constraint_table_matches_reference():
+    """The exact known_constraints_cat table (optimization.py:148-165)."""
+    from event_representation_study_tpu.search.optimize import (
+        default_known_constraints,
+    )
+
+    banned = [
+        ("polarity", "max"),
+        ("count", "max"), ("count", "variance"),
+        ("count_pos", "max"), ("count_pos", "variance"),
+        ("count_neg", "max"), ("count_neg", "variance"),
+    ]
+    allowed = [
+        ("timestamp", "max"), ("timestamp", "variance"),
+        ("timestamp_pos", "max"), ("timestamp_neg", "variance"),
+        ("polarity", "variance"), ("polarity", "mean"), ("polarity", "sum"),
+        ("count", "mean"), ("count", "sum"),
+        ("count_pos", "sum"), ("count_neg", "mean"),
+    ]
+    for f, a in banned:
+        assert not default_known_constraints(
+            {"window": "0", "function": f, "aggregation": a}
+        ), (f, a)
+    for f, a in allowed:
+        assert default_known_constraints(
+            {"window": "0", "function": f, "aggregation": a}
+        ), (f, a)
+
+
+def test_driver_never_scores_excluded_and_persists_history(tmp_path):
+    """The search driver only ever evaluates table-allowed combinations, and
+    the full history lands in the database (gryffin database_handler
+    semantics) in both json and sqlite formats."""
+    from event_representation_study_tpu.search.db import DatabaseHandler
+    from event_representation_study_tpu.search.optimize import (
+        POSSIBLE_SCENARIOS,
+        sequential_optimization,
+    )
+
+    scored = []
+
+    def measure(triples):
+        w, f, a = triples[-1]
+        scored.append((f, a))
+        return float(w) / 6 + (f != "count")
+
+    for fmt in ("json", "sqlite"):
+        scored.clear()
+        db_path = tmp_path / f"history.{fmt}"
+        sequential_optimization(
+            measure, channels=1, budget=10, seed=5, verbose=False,
+            bnn_train_steps=100, bnn_draws=50,
+            db_path=db_path, db_format=fmt,
+        )
+        assert len(scored) == 10
+        for f, a in scored:
+            assert a in POSSIBLE_SCENARIOS[f], (f, a)
+        hist = DatabaseHandler(db_path, format=fmt).load()
+        assert len(hist) == 10
+        assert all("obj" in h and "iteration" in h for h in hist)
+        assert [h["iteration"] for h in hist] == list(range(10))
+
+
+def test_infeasible_observations_fia_blend():
+    """NaN objectives mark measured-infeasible points: recommend() runs the
+    FIA-blended acquisition (acquisition.py:689-792) and still returns valid
+    parameter dicts; the feasible-volume estimate reflects constraints."""
+    space = _space((4, 4))
+    banned = lambda d: d["p0"] != "o0"
+    g = Gryffin(space, known_constraints=banned, random_seed=11,
+                bnn_train_steps=100, bnn_draws=50)
+    assert 0.6 < g.feasible_fraction() < 0.9  # 3/4 of the grid is feasible
+
+    obs = []
+    recs = g.recommend(obs, sampling_strategies=[-1, 1])
+    for r in recs:
+        idx = _decode(space, r)
+        obs.append(dict(r, obj=cat_dejong(idx, (4, 4))))
+    # mark one region as measured-infeasible
+    obs.append({"p0": "o3", "p1": "o3", "obj": float("nan")})
+    recs = g.recommend(obs, sampling_strategies=[-1, 1])
+    assert len(recs) == 2
+    for r in recs:
+        assert r["p0"] != "o0"
+        assert r["p0"] in space[0].options and r["p1"] in space[1].options
