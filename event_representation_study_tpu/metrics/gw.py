@@ -172,6 +172,18 @@ def entropic_gromov_wasserstein(
 
     T0 = p[:, None] * q[None, :]
     T, _ = jax.lax.scan(outer, T0, None, length=max_iter)
+    # round onto U(p, q) (Altschuler et al. 2017) so the reported value is the
+    # objective of a FEASIBLE coupling — an unconverged Sinkhorn iterate can
+    # otherwise undercut the exact optimum
+    r = p / jnp.maximum(T.sum(axis=1), 1e-30)
+    T = T * jnp.minimum(r, 1.0)[:, None]
+    c = q / jnp.maximum(T.sum(axis=0), 1e-30)
+    T = T * jnp.minimum(c, 1.0)[None, :]
+    err_r = p - T.sum(axis=1)
+    err_c = q - T.sum(axis=0)
+    T = T + err_r[:, None] * err_c[None, :] / jnp.maximum(
+        jnp.sum(jnp.abs(err_r)), 1e-30
+    )
     gw = jnp.sum(tens(T) * T)
     return T, gw
 

@@ -17,7 +17,7 @@ conventions and the shifted-coordinate masks):
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -43,6 +43,16 @@ def _pad_cloud(X: np.ndarray, capacity: int):
     return out, mask
 
 
+def _bucket_capacity(n: int, minimum: int = 4096) -> int:
+    """Next power of two >= n (recompile-friendly bucketing): the clouds are
+    never truncated — a dense rep quadrant can exceed 16k nonzero pixels
+    (121x153xC crop), which a fixed capacity would silently bias."""
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
 def otmi(
     events: np.ndarray,  # (N, 4) columns x, y, t, p
     rep: np.ndarray,  # (H_rep, W_rep, C)
@@ -50,7 +60,7 @@ def otmi(
     width: int,
     rep_size: int,
     h: float = 0.7,
-    capacity: int = 16384,
+    capacity: Optional[int] = None,
 ) -> float:
     events = np.asarray(events, np.float64)
     quads = _quadrants(events, height, width)
@@ -100,8 +110,9 @@ def otmi(
 
         if len(cloud_s) == 0 or len(flat) == 0:
             continue
-        Xs, ms = _pad_cloud(cloud_s.astype(np.float32), capacity)
-        Xt, mt = _pad_cloud(flat.astype(np.float32), capacity)
+        cap = capacity or _bucket_capacity(max(len(cloud_s), len(flat)))
+        Xs, ms = _pad_cloud(cloud_s.astype(np.float32), cap)
+        Xt, mt = _pad_cloud(flat.astype(np.float32), cap)
         costs.append(float(sampled_kernel_cost(Xs, ms, Xt, mt, h=h)))
 
     return float(np.mean(costs)) if costs else float("nan")
