@@ -77,16 +77,98 @@ def main():
     assert np.isfinite(checksum)
     device_eps = B * N / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "ergo12_rep_build_throughput",
-                "value": round(device_eps),
-                "unit": "events/sec",
-                "vs_baseline": round(device_eps / baseline_eps, 2),
-            }
-        )
+    result = {
+        "metric": "ergo12_rep_build_throughput",
+        "value": round(device_eps),
+        "unit": "events/sec",
+        "vs_baseline": round(device_eps / baseline_eps, 2),
+    }
+
+    # --- detector training-step benchmark (paper model, bf16 vs f32) -----
+    # The reference publishes no step-time numbers; this records ours so the
+    # bf16 path is exercised and regression-tracked (VERDICT r1 item 8).
+    try:
+        result.update(bench_detector_steps())
+    except Exception as e:  # never break the headline metric line
+        result["detector_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(result))
+
+
+def bench_detector_steps():
+    """Fused train-step time at paper config (YOLOv6-L6-class, 640x640) for
+    bf16 and f32 compute; batch/img overridable via env for small hosts."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        Batch,
+        init_train_state,
+        make_train_step,
     )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
+    from event_representation_study_tpu.utils.config import load_config
+
+    B = int(os.environ.get("BENCH_DETECTOR_BATCH", 8))
+    S = int(os.environ.get("BENCH_DETECTOR_IMG", 640))
+    M = 8
+    overrides = os.environ.get("BENCH_DETECTOR_OVERRIDES", "")
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=[o for o in overrides.split(",") if o],
+    )
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, S, S, 12)), jnp.float32)
+    gt_b = np.zeros((B, M, 4), np.float32)
+    gt_b[:, 0] = [S * 0.1, S * 0.1, S * 0.4, S * 0.4]
+    gm = np.zeros((B, M), np.float32)
+    gm[:, 0] = 1.0
+    batch = Batch(
+        images=imgs,
+        events=None,
+        gt_labels=jnp.zeros((B, M), jnp.int32),
+        gt_bboxes=jnp.asarray(gt_b),
+        gt_mask=jnp.asarray(gm),
+    )
+
+    out = {}
+    for name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        model = build_model(cfg, num_classes=2, dtype=dtype)
+        solver = SolverConfig(steps_per_epoch=100, epochs=10, batch_size=B)
+        tx = build_optimizer(
+            jax.eval_shape(
+                functools.partial(model.init, train=True),
+                jax.random.PRNGKey(0), imgs,
+            )["params"],
+            solver,
+        )
+        state = init_train_state(model, tx, jax.random.PRNGKey(0), imgs)
+        step = make_train_step(model, LossConfig(num_classes=2), tx,
+                               img_size=S, donate=True)
+        epoch = jnp.int32(10)
+        state, parts = step(state, batch, epoch)  # compile + warm
+        float(parts["loss"])
+        iters = int(os.environ.get("BENCH_DETECTOR_ITERS", 8))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, parts = step(state, batch, epoch)
+        loss = float(parts["loss"])  # readback forces completion
+        dt = (time.perf_counter() - t0) / iters
+        assert np.isfinite(loss)
+        out[f"detector_train_step_ms_{name}"] = round(dt * 1e3, 2)
+        out[f"detector_imgs_per_s_{name}"] = round(B / dt, 1)
+        del state, step
+    if out.get("detector_train_step_ms_bf16"):
+        out["bf16_speedup"] = round(
+            out["detector_train_step_ms_f32"]
+            / out["detector_train_step_ms_bf16"], 2,
+        )
+    return out
 
 
 if __name__ == "__main__":

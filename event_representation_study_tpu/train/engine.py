@@ -165,6 +165,16 @@ class Trainer:
         )
         self.best_ap = -1.0
         self.start_epoch = 0
+        # observability fan-out (jsonl always; wandb/tensorboard when
+        # importable — the reference's events.py:37-60 writers)
+        from ..utils.observability import MultiWriter
+
+        self.writer = MultiWriter.default(
+            self.output_dir, config={"representation": self.representation},
+            use_wandb=bool(cfg.get("use_wandb")),
+            use_tensorboard=bool(cfg.get("use_tensorboard")),
+        )
+        self.log_interval = 200  # loss every 200 steps (engine.py:264-265)
 
     def _shard(self, batch: Batch) -> Batch:
         s = data_sharding(self.mesh)
@@ -201,6 +211,11 @@ class Trainer:
                         self.state, batch, jnp.int32(epoch)
                     )
                     losses.append(parts)
+                    step = int(self.state.step)
+                    if step % self.log_interval == 0:
+                        self.writer.log(
+                            {k: float(v) for k, v in parts.items()}, step
+                        )
                 if losses:
                     last = {k: float(v) for k, v in losses[-1].items()}
                     LOGGER.info(
@@ -215,6 +230,11 @@ class Trainer:
     def eval_and_save(self, epoch: int) -> Dict[str, float]:
         variables = self.state.ema.variables
         stats = self.evaler.run(variables)
+        self.writer.log(
+            {f"val/{k}": v for k, v in stats.items()
+             if isinstance(v, (int, float))},
+            int(self.state.step),
+        )
         save_checkpoint(self.output_dir / "last_ckpt", self.state, epoch)
         if stats.get("AP", -1) > self.best_ap:
             self.best_ap = stats["AP"]

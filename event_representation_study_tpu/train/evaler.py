@@ -48,39 +48,67 @@ class Evaler:
             )
         )
 
-    def run(self, variables) -> Dict[str, float]:
+    def run(self, variables, do_pr_metric: bool = False,
+            speed_only: bool = False) -> Dict[str, float]:
+        """COCO evaluation with the reference's 4-slot speed accounting
+        (n / pre / infer+NMS / post, evaler.py:138-177): pre = host->device
+        batch staging, infer = fused rep+forward+NMS on device (the
+        reference's pre-computes reps in CPU workers; ours are on-device, so
+        they land in the infer slot), post = host COCO conversion.
+
+        ``do_pr_metric`` adds the per-class PR/F1/confusion summary
+        (evaler.py:179-337). ``speed_only`` skips metric accumulation (the
+        standalone speed task, evaler.py:491-501)."""
+        import jax
+
         ds = self.loader.ds
         coco = CocoEvaluator(self.num_classes)
+        pr = None
+        if do_pr_metric:
+            from ..metrics.det_metrics import PRMetric
+
+            pr = PRMetric(self.num_classes)
         speed = {"n": 0, "pre_ms": 0.0, "infer_ms": 0.0, "post_ms": 0.0}
         for batch, indices in self.loader:
+            t_pre = time.perf_counter()
+            batch = jax.device_put(batch)
+            jax.block_until_ready(batch.gt_bboxes)
             t0 = time.perf_counter()
             preds = self._eval_step(variables, batch)
             dets, counts = self._nms(preds)
             dets = np.asarray(dets)  # readback forces completion
             counts = np.asarray(counts)
             t1 = time.perf_counter()
-            labels = np.asarray(batch.gt_labels)
-            boxes = np.asarray(batch.gt_bboxes)
-            mask = np.asarray(batch.gt_mask) > 0
-            for i in range(dets.shape[0]):
-                n = int(counts[i])
-                d = dets[i, :n].copy()
-                d[:, :4] = scale_coords_back(
-                    d[:, :4], self.img_size, ds.height, ds.width
-                )
-                m = mask[i]
-                g = boxes[i][m]  # letterboxed xyxy -> back to sensor frame
-                g = scale_coords_back(g, self.img_size, ds.height, ds.width)
-                gts = np.concatenate(
-                    [labels[i][m][:, None].astype(np.float64), g], axis=1
-                )
-                coco.add_image(d, gts)
+            nb = dets.shape[0]
+            if not speed_only:
+                labels = np.asarray(batch.gt_labels)
+                boxes = np.asarray(batch.gt_bboxes)
+                mask = np.asarray(batch.gt_mask) > 0
+                for i in range(nb):
+                    n = int(counts[i])
+                    d = dets[i, :n].copy()
+                    d[:, :4] = scale_coords_back(
+                        d[:, :4], self.img_size, ds.height, ds.width
+                    )
+                    m = mask[i]
+                    g = boxes[i][m]  # letterboxed xyxy -> back to sensor frame
+                    g = scale_coords_back(g, self.img_size, ds.height, ds.width)
+                    gts = np.concatenate(
+                        [labels[i][m][:, None].astype(np.float64), g], axis=1
+                    )
+                    coco.add_image(d, gts)
+                    if pr is not None:
+                        pr.add_image(d, gts)
             t2 = time.perf_counter()
-            speed["n"] += dets.shape[0]
+            speed["n"] += nb
+            speed["pre_ms"] += (t0 - t_pre) * 1e3
             speed["infer_ms"] += (t1 - t0) * 1e3
             speed["post_ms"] += (t2 - t1) * 1e3
-        stats = coco.summarize()
+        stats = {} if speed_only else coco.summarize()
+        if pr is not None:
+            stats.update(pr.summarize())
         if speed["n"]:
+            stats["speed_pre_ms"] = speed["pre_ms"] / speed["n"]
             stats["speed_infer_nms_ms"] = speed["infer_ms"] / speed["n"]
             stats["speed_post_ms"] = speed["post_ms"] / speed["n"]
         return stats
