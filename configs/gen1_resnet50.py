@@ -1,0 +1,79 @@
+"""ResNet-50 ablation backbone on Gen1 — the paper's third backbone row
+(BASELINE.md; viz/2_map_gwd_correlation.py:58). The reference repo ships no
+ResNet config file; this re-creates it from yolo.py:147-163 (ResNet branch,
+CBAM/DropBlock resnet50.py:341-457) with the 3-level CSP BiFPAN neck.
+
+The ResNet emits the fixed adaptive-pooled grid (72/36/18/9); at img_size 576
+those are exact strides 8/16/32/64, so the 3 neck outputs sit at 16/32/64.
+"""
+
+model = dict(
+    type="YOLOv6-ResNet50",
+    pretrained=None,
+    depth_multiple=1.0,
+    width_multiple=1.0,
+    backbone=dict(
+        type="ResNet",
+        version=50,
+        cbam=False,  # the reference's CBAM.forward returns None (broken);
+        # set True to use this repo's corrected CBAM
+        drop_prob=0.0,
+        num_repeats=[1, 3, 4, 6, 3],
+        out_channels=[64, 128, 256, 512, 1024],
+    ),
+    neck=dict(
+        type="CSPRepBiFPANNeck",
+        num_repeats=[12, 12, 12, 12, 12],
+        out_channels=[256, 128, 128, 256, 512],
+        csp_e=0.5,
+    ),
+    head=dict(
+        type="EffiDeHead",
+        in_channels=[128, 256, 512],
+        num_layers=3,
+        anchors=1,
+        strides=[16, 32, 64],
+        atss_warmup_epoch=4,
+        iou_type="giou",
+        use_dfl=True,
+        reg_max=16,
+    ),
+)
+
+solver = dict(
+    optim="SGD",
+    lr_scheduler="Cosine",
+    lr0=0.0032,
+    lrf=0.12,
+    momentum=0.843,
+    weight_decay=0.00036,
+    warmup_epochs=2.0,
+    warmup_momentum=0.5,
+    warmup_bias_lr=0.05,
+)
+
+data_aug = dict(
+    hsv_h=0.0138,
+    hsv_s=0.664,
+    hsv_v=0.464,
+    degrees=0.373,
+    translate=0.245,
+    scale=0.898,
+    shear=0.602,
+    flipud=0.00856,
+    fliplr=0.5,
+    mosaic=1.0,
+    mixup=0.243,
+)
+
+training_mode = "conv_silu"
+
+data = dict(
+    height=240,
+    width=304,
+    num_classes=2,
+    names=["car", "pedestrian"],
+    num_events=50000,
+    img_size=576,
+    representation="OptimizedRepresentation",
+)

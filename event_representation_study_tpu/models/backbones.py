@@ -127,3 +127,119 @@ class EfficientRep6(nn.Module):
             if i >= 1 if self.fuse_P2 else i >= 2:
                 outputs.append(x)
         return tuple(outputs)
+
+
+class ResNetBottleneck(nn.Module):
+    """ResNet bottleneck with optional CBAM (resnet50.py:267-338; the
+    reference's deformable-conv branch is CUDA-only and not ported)."""
+
+    planes: int
+    stride: int = 1
+    use_cbam: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .layers import CBAM
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+
+        out_ch = self.planes * 4
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = bn("bn3")(y)
+        if self.use_cbam:
+            y = CBAM(reduction_ratio=1, kernel_size=3, dtype=self.dtype,
+                     name="cbam")(y)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = nn.Conv(out_ch, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50Backbone(nn.Module):
+    """Detection ResNet-50 with CBAM/DropBlock options
+    (resnet50.py:341-457): stem 7x7/2 + maxpool, 4 bottleneck stages
+    [3, 4, 6, 3], outputs adaptively pooled to the reference's fixed
+    (C, H, W) grid — (128,72,72), (256,36,36), (512,18,18), (1024,9,9) —
+    via AdaptiveAvgPool3d semantics (:434-441). DropBlock (drop_prob > 0)
+    regularizes stages 1-2 during training."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    cbam: bool = False
+    drop_prob: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .layers import adaptive_avg_pool_chw, drop_block_2d
+
+        x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        feats = []
+        planes = (64, 128, 256, 512)
+        for s, (n, p) in enumerate(zip(self.layers, planes)):
+            stride = 1 if s == 0 else 2
+            use_cbam = self.cbam and s >= 1  # reference: layers 2-4 only
+            x = ResNetBottleneck(p, stride, use_cbam, dtype=self.dtype,
+                                 name=f"layer{s + 1}_0")(x, train)
+            for i in range(1, n):
+                x = ResNetBottleneck(p, 1, use_cbam, dtype=self.dtype,
+                                     name=f"layer{s + 1}_{i}")(x, train)
+            if train and self.drop_prob > 0 and s < 2:
+                rng = self.make_rng("dropout")
+                x = drop_block_2d(rng, x, self.drop_prob, block_size=5)
+            feats.append(x)
+
+        targets = [(128, 72, 72), (256, 36, 36), (512, 18, 18), (1024, 9, 9)]
+        return tuple(
+            adaptive_avg_pool_chw(f, c, h, w)
+            for f, (c, h, w) in zip(feats, targets)
+        )
+
+
+class Lite_EffiBackbone(nn.Module):
+    """Lightweight shuffle backbone (efficientrep.py:528-588): HS stem +
+    4 Lite_EffiBlock stages; outputs the last 3 stages (strides 8, 16, 32)."""
+
+    out_channels: Sequence[int]  # 5 entries; [0] forced to 24 like reference
+    mid_channels: Sequence[int]  # 5 entries
+    num_repeat: Sequence[int] = (1, 3, 7, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .layers import ConvBNHS, Lite_EffiBlockS1, Lite_EffiBlockS2
+
+        ch = list(self.out_channels)
+        ch[0] = 24
+        x = ConvBNHS(ch[0], 3, 2, dtype=self.dtype, name="conv_0")(x, train)
+        outputs = []
+        for s in range(4):
+            x = Lite_EffiBlockS2(self.mid_channels[s + 1], ch[s + 1],
+                                 dtype=self.dtype,
+                                 name=f"stage{s + 1}_0")(x, train)
+            for i in range(1, self.num_repeat[s]):
+                x = Lite_EffiBlockS1(self.mid_channels[s + 1], ch[s + 1],
+                                     dtype=self.dtype,
+                                     name=f"stage{s + 1}_{i}")(x, train)
+            if s >= 1:
+                outputs.append(x)
+        return tuple(outputs)

@@ -21,20 +21,70 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.image import letterbox_image
-from .backbones import CSPBackboneP6, EfficientRep, EfficientRep6
-from .heads import EffiDeHead
+from .backbones import (
+    CSPBackboneP6,
+    EfficientRep,
+    EfficientRep6,
+    Lite_EffiBackbone,
+    ResNet50Backbone,
+)
+from .heads import EffiDeHead, EffiDeHeadDistillNS, EffiDeHeadFuseAB
 from .learned_repr import QuantizationLayer
-from .necks import CSPRepBiFPANNeck, CSPRepBiFPANNeck_P6
+from .necks import (
+    CSPRepBiFPANNeck,
+    CSPRepBiFPANNeck_P6,
+    Lite_EffiNeck,
+    PANNeckUpcat,
+)
+from .swin_vit import SwinTransformerV2ViT
 
 BACKBONES = {
     "SwinTransformerV2": CSPBackboneP6,  # reference alias (see module docstring)
     "CSPBackboneP6": CSPBackboneP6,
     "EfficientRep": EfficientRep,
     "EfficientRep6": EfficientRep6,
+    "ResNet": ResNet50Backbone,  # yolo.py:147-156 'ResNet' config type
+    "Lite_EffiBackbone": Lite_EffiBackbone,
+    "SwinTransformerV2ViT": SwinTransformerV2ViT,  # the genuine ViT (:659-862)
 }
+
+# name -> builder(channels_list, num_repeats, basic_mode, csp_e, dtype, name)
+# covering all 9 reppan.py variants (:19-1199)
+def _upcat(levels, stage_type, backbone_entries):
+    def build(channels_list, num_repeats, basic_mode, csp_e, dtype, name):
+        return PANNeckUpcat(
+            channels_list=channels_list, num_repeats=num_repeats,
+            levels=levels, backbone_entries=backbone_entries,
+            basic_mode=basic_mode, csp_e=csp_e, stage_type=stage_type,
+            dtype=dtype, name=name,
+        )
+
+    return build
+
+
+def _bifpan(cls, stage_type):
+    def build(channels_list, num_repeats, basic_mode, csp_e, dtype, name):
+        return cls(
+            channels_list=channels_list, num_repeats=num_repeats,
+            basic_mode=basic_mode, csp_e=csp_e, stage_type=stage_type,
+            dtype=dtype, name=name,
+        )
+
+    return build
+
+
 NECKS = {
-    "CSPRepBiFPANNeck_P6": CSPRepBiFPANNeck_P6,
-    "CSPRepBiFPANNeck": CSPRepBiFPANNeck,
+    "CSPRepBiFPANNeck_P6": _bifpan(CSPRepBiFPANNeck_P6, "bepc3"),
+    "RepBiFPANNeck6": _bifpan(CSPRepBiFPANNeck_P6, "rep"),
+    "CSPRepBiFPANNeck": _bifpan(CSPRepBiFPANNeck, "bepc3"),
+    "RepBiFPANNeck": _bifpan(CSPRepBiFPANNeck, "rep"),
+    "RepPANNeck": _upcat(3, "rep", 5),
+    "CSPRepPANNeck": _upcat(3, "bepc3", 5),
+    "RepPANNeck6": _upcat(4, "rep", 6),
+    "CSPRepPANNeck_P6": _upcat(4, "bepc3", 6),
+    "Lite_EffiNeck": lambda channels_list, num_repeats, basic_mode, csp_e,
+    dtype, name: Lite_EffiNeck(unified_channels=channels_list[-1],
+                               dtype=dtype, name=name),
 }
 
 
@@ -66,6 +116,10 @@ class Detector(nn.Module):
     sensor_hw: Tuple[int, int] = (240, 304)
     img_size: int = 640
 
+    # head variants (yolo.py:165-200): 'effidehead' | 'fuseab' | 'distill_ns'
+    head_type: str = "effidehead"
+    anchors_init: Optional[Sequence[Sequence[float]]] = None  # fuseab only
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.quantization_bins is not None:
@@ -86,6 +140,18 @@ class Detector(nn.Module):
                 dtype=self.dtype,
                 name="backbone",
             )
+        elif backbone_cls is ResNet50Backbone:
+            backbone = backbone_cls(dtype=self.dtype, name="backbone")
+        elif backbone_cls is SwinTransformerV2ViT:
+            backbone = backbone_cls(dtype=self.dtype, name="backbone")
+        elif backbone_cls is Lite_EffiBackbone:
+            backbone = backbone_cls(
+                out_channels=self.channels_list[:5],
+                mid_channels=[c // 2 for c in self.channels_list[:5]],
+                num_repeat=self.num_repeats[1:5],
+                dtype=self.dtype,
+                name="backbone",
+            )
         else:
             backbone = backbone_cls(
                 channels_list=self.channels_list[:6],
@@ -95,23 +161,44 @@ class Detector(nn.Module):
             )
         feats = backbone(x, train)
         neck = NECKS[self.neck_name](
-            channels_list=self.channels_list,
-            num_repeats=self.num_repeats,
-            basic_mode=self.basic_mode,
-            csp_e=self.csp_e,
-            dtype=self.dtype,
-            name="neck",
+            self.channels_list,
+            self.num_repeats,
+            self.basic_mode,
+            self.csp_e,
+            self.dtype,
+            "neck",
         )
         feats = neck(feats, train)
-        head = EffiDeHead(
-            num_classes=self.num_classes,
-            in_channels=self.head_in_channels,
-            strides=self.strides,
-            reg_max=self.reg_max,
-            use_dfl=self.use_dfl,
-            dtype=self.dtype,
-            name="head",
-        )
+        if self.head_type == "fuseab":
+            head = EffiDeHeadFuseAB(
+                num_classes=self.num_classes,
+                in_channels=self.head_in_channels,
+                anchors=self.anchors_init,
+                strides=self.strides,
+                reg_max=self.reg_max,
+                use_dfl=self.use_dfl,
+                dtype=self.dtype,
+                name="head",
+            )
+        elif self.head_type == "distill_ns":
+            head = EffiDeHeadDistillNS(
+                num_classes=self.num_classes,
+                in_channels=self.head_in_channels,
+                strides=self.strides,
+                reg_max=self.reg_max,
+                dtype=self.dtype,
+                name="head",
+            )
+        else:
+            head = EffiDeHead(
+                num_classes=self.num_classes,
+                in_channels=self.head_in_channels,
+                strides=self.strides,
+                reg_max=self.reg_max,
+                use_dfl=self.use_dfl,
+                dtype=self.dtype,
+                name="head",
+            )
         return head(feats, train)
 
 
@@ -122,6 +209,8 @@ def build_model(
     dtype: Any = jnp.float32,
     representation: Optional[str] = None,
     img_size: Optional[int] = None,
+    fuse_ab: bool = False,
+    distill_ns: bool = False,
 ) -> Detector:
     """Build from an experiment-config dict (utils/config.py surface;
     reference build path yolo.py:91-222). ``cfg['model']`` must carry
@@ -161,4 +250,12 @@ def build_model(
         csp_e=bb.get("csp_e", 0.5),
         basic_mode=cfg.get("training_mode", "conv_silu"),
         dtype=dtype,
+        head_type=(
+            "fuseab" if fuse_ab else "distill_ns" if distill_ns else "effidehead"
+        ),
+        anchors_init=(
+            tuple(tuple(a) for a in hd["anchors"])
+            if fuse_ab and isinstance(hd.get("anchors"), (list, tuple))
+            else None
+        ),
     )
