@@ -44,6 +44,17 @@ def get_args_parser():
 
 def main(args=None):
     args = get_args_parser().parse_args(args)
+    import os
+
+    if os.environ.get("WORLD_SIZE") or os.environ.get("COORDINATOR_ADDRESS") \
+            or os.environ.get("TPU_WORKER_HOSTNAMES"):
+        # multi-host: must run before the first jax call (train.py:244-253's
+        # init_process_group analog)
+        from ..parallel.dist import init_distributed
+
+        pid, pcount = init_distributed()
+        print(f"distributed: process {pid}/{pcount}")
+
     from ..train.engine import Trainer
     from ..utils.config import load_config
 

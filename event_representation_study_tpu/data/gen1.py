@@ -58,6 +58,7 @@ class Gen1H5:
         num_events: int = 50000,
         max_boxes: int = 32,
         time_window: int = 300000,
+        window_mode: str = "count",  # "count" (reference) | "time" (us)
     ):
         if h5py is None:
             raise RuntimeError("h5py is required for Gen1H5")
@@ -68,6 +69,8 @@ class Gen1H5:
         self.num_events = num_events
         self.max_boxes = max_boxes
         self.time_window = time_window
+        assert window_mode in ("count", "time")
+        self.window_mode = window_mode
         self._file_names = sorted(self.h5.keys())
         self._counts = [
             len(self.h5[f"{f}/bbox/t_unique"]) for f in self._file_names
@@ -108,10 +111,22 @@ class Gen1H5:
         return np.stack([cls, cx, cy, w, h], axis=-1), event_idx
 
     def _load_events(self, handle, event_idx: int):
-        """The 50k-event window ending at the bbox timestamp
-        (gen1_2yolo.py:186-198)."""
+        """The event window ending at the bbox timestamp: the reference's
+        fixed 50k-count slice (gen1_2yolo.py:186-198), or — with
+        ``window_mode='time'`` — the last ``time_window`` microseconds (the
+        'us'-unit windowing of ev-licious h5_event_handle.py:71-103, which
+        the reference plumbs as ``time_window`` but never connects). Time
+        windows are still capped at ``num_events`` (the fixed device
+        capacity)."""
         ev = handle["events"]
-        i0 = max(0, event_idx - self.num_events)
+        if self.window_mode == "time":
+            t_end = int(ev["t"][event_idx - 1]) if event_idx > 0 else 0
+            i0 = int(
+                np.searchsorted(ev["t"], t_end - self.time_window, side="left")
+            )
+            i0 = max(i0, event_idx - self.num_events, 0)
+        else:
+            i0 = max(0, event_idx - self.num_events)
         x = np.asarray(ev["x"][i0:event_idx], np.int32)
         y = np.asarray(ev["y"][i0:event_idx], np.int32)
         t = np.asarray(ev["t"][i0:event_idx], np.int64)

@@ -152,3 +152,114 @@ def write_gen4_npz_fixture(root, num_recordings: int = 2, n_events: int = 8000,
         np.savez(path, x=x, y=y, t=t, p=(p > 0), boxes=boxes)
         files.append(str(path))
     return files
+
+
+class Gen4RawDataset:
+    """On-the-fly variant — the equivalent of
+    ev-YOLOv6/yolov6/data/gen4/gen4_2yolo_raw.py (606 LoC): reads the
+    per-recording npz directly (no consolidation pass), applies the same
+    box filters, and serves fixed event windows ending at each label
+    timestamp as :class:`..data.gen1.Gen1Sample` items (the loader and the
+    fused device pipeline are shared with Gen1)."""
+
+    def __init__(self, npz_files: Sequence[str], num_events: int = NUM_EVENTS_GEN4,
+                 max_boxes: int = 64, height: int = GEN4_H, width: int = GEN4_W,
+                 max_class_id: int = 2):
+        self.files = sorted(str(f) for f in npz_files)
+        self.num_events = num_events
+        self.max_boxes = max_boxes
+        self.height = height
+        self.width = width
+        self.classes = list(GEN4_CLASSES)
+        self._cache_path: Optional[str] = None
+        self._cache = None
+        # index pass: (file_i, t_unique) per label timestamp
+        self._items: List[Tuple[int, float]] = []
+        self._rec_of_item: List[int] = []
+        for fi, path in enumerate(self.files):
+            try:
+                fh = np.load(path)
+            except Exception:  # bad-CRC tolerance (precompute_reps.py:278-282)
+                continue
+            boxes = np.asarray(fh["boxes"]) if "boxes" in fh else np.zeros((0, 6))
+            boxes = filter_boxes(crop_to_frame(boxes, height, width))
+            boxes = boxes[boxes[:, 5] <= max_class_id]
+            for t in np.unique(boxes[:, 0]):
+                self._items.append((fi, float(t)))
+                self._rec_of_item.append(fi)
+
+    def __len__(self):
+        return len(self._items)
+
+    def recording_boundaries(self) -> List[int]:
+        """Indices whose successor belongs to a different recording — the
+        exclusion list for RandomContinuousSampler."""
+        out = []
+        for i in range(len(self._rec_of_item) - 1):
+            if self._rec_of_item[i] != self._rec_of_item[i + 1]:
+                out.append(i + 1)
+        return out
+
+    def _load(self, fi: int):
+        path = self.files[fi]
+        if self._cache_path != path:
+            fh = np.load(path)
+            x, y = np.asarray(fh["x"]), np.asarray(fh["y"])
+            t, p = np.asarray(fh["t"]), np.asarray(fh["p"])
+            ok = (x >= 0) & (x < self.width) & (y >= 0) & (y < self.height)
+            boxes = np.asarray(fh["boxes"]) if "boxes" in fh else np.zeros((0, 6))
+            boxes = filter_boxes(crop_to_frame(boxes, self.height, self.width))
+            self._cache = (x[ok], y[ok], t[ok], p[ok], boxes)
+            self._cache_path = path
+        return self._cache
+
+    def __getitem__(self, idx: int):
+        from .gen1 import Gen1Sample
+
+        fi, t_box = self._items[idx]
+        x, y, t, p, boxes = self._load(fi)
+        end = int(np.searchsorted(t, t_box, side="right"))
+        i0 = max(0, end - self.num_events)
+        n = end - i0
+        ev = np.zeros((4, self.num_events), np.int32)
+        ev[0, :n] = x[i0:end]
+        ev[1, :n] = y[i0:end]
+        tt = t[i0:end].astype(np.int64)
+        if n:
+            tt = tt - tt[0]
+        ev[2, :n] = tt.astype(np.int32)
+        ev[3, :n] = np.where(p[i0:end] > 0, 1, -1)
+
+        b = boxes[boxes[:, 0] == t_box]
+        lab = np.zeros((self.max_boxes, 5), np.float32)
+        nl = min(len(b), self.max_boxes)
+        if nl:
+            x1 = np.clip(b[:nl, 1] / self.width, 0, 1)
+            y1 = np.clip(b[:nl, 2] / self.height, 0, 1)
+            x2 = np.clip((b[:nl, 1] + b[:nl, 3]) / self.width, 0, 1)
+            y2 = np.clip((b[:nl, 2] + b[:nl, 4]) / self.height, 0, 1)
+            lab[:nl, 0] = b[:nl, 5]
+            lab[:nl, 1] = (x1 + x2) / 2
+            lab[:nl, 2] = (y1 + y2) / 2
+            lab[:nl, 3] = x2 - x1
+            lab[:nl, 4] = y2 - y1
+        return Gen1Sample(events=ev, num_events=n, labels=lab, num_labels=nl,
+                          index=idx, height=self.height, width=self.width)
+
+
+def random_continuous_indices(
+    data_len: int, num: int, exclude: Sequence[int],
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """RandomContinuousSampler's index stream
+    (ev-YOLOv6/yolov6/data/gen4/data_sampler.py:6-44): split [0, data_len)
+    into contiguous chunks of ``num``, drop chunks containing excluded
+    indices (recording boundaries), shuffle chunk order, flatten — so every
+    drawn pair/group of samples is temporally continuous."""
+    exclude = set(int(e) for e in exclude)
+    chunks = [
+        list(range(i * num, (i + 1) * num)) for i in range(data_len // num)
+    ]
+    chunks = [c for c in chunks if not any(i in exclude for i in c)]
+    order = rng.permutation(len(chunks))
+    return np.asarray([i for k in order for i in chunks[k]], np.int64)

@@ -35,6 +35,7 @@ class EventBatchLoader:
         flipud: float = 0.0,
         fliplr: float = 0.0,
         hyp: Optional[dict] = None,
+        index_sampler=None,
     ):
         """``flipud``/``fliplr`` enable the reference's geometric flip
         augmentation (gen1_2yolo.py:210-228) applied jointly to the event
@@ -64,6 +65,9 @@ class EventBatchLoader:
         self.prefetch = prefetch
         self.shard_id = shard_id
         self.num_shards = num_shards
+        # optional custom index stream, e.g. gen4.random_continuous_indices
+        # (the RandomContinuousSampler equivalent); called with the epoch
+        self.index_sampler = index_sampler
         self.epoch = 0
 
     def __len__(self):
@@ -73,10 +77,13 @@ class EventBatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _indices(self):
-        idx = np.arange(len(self.ds))
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(idx)
+        if self.index_sampler is not None:
+            idx = np.asarray(self.index_sampler(self.epoch))
+        else:
+            idx = np.arange(len(self.ds))
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + self.epoch)
+                rng.shuffle(idx)
         return idx[self.shard_id :: self.num_shards]
 
     def _make_batch(self, indices) -> Batch:

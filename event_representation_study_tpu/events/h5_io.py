@@ -139,4 +139,20 @@ def load_events_from_path(path) -> np.ndarray:
             raw[:, 0], raw[:, 1], raw[:, 2], normalize_polarity(raw[:, 3])
         )
         return out
+    if path.suffix == ".dat":
+        from .prophesee import read_dat
+
+        return read_dat(path)
+    if path.suffix == ".bin":
+        from .prophesee import read_nmnist_bin
+
+        return read_nmnist_bin(path)
+    if path.suffix == ".bag":  # rosbag handle (io/rosbag_event_handle.py)
+        try:
+            import rosbag  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "rosbag support requires the 'rosbag' package (not shipped "
+                "in this image); convert with evlicious or export to .h5"
+            ) from e
     raise ValueError(f"unsupported event file: {path}")

@@ -70,26 +70,39 @@ def _plan(windows, funcs, aggs):
     return tuple(sum_cols), tuple(max_cols), tuple(recipes)
 
 
+def _window_mask(w, pos, num, t_s, stacking):
+    """Window membership for sorted or unsorted event positions.
+
+    SBN (mixed_density_event_stack.py:61-74): positional thirds + suffixes.
+    SBT (:76-106): normalized-time thirds (inclusive bounds) + prefixes
+    t <= 1/2, 1/4, 1/8, 1/16 (8 windows)."""
+    numc = num[:, None]
+    valid = pos < numc
+    if w == 0:
+        return valid
+    if stacking == "SBT":
+        if 1 <= w <= 3:
+            lo, hi = (w - 1) / 3.0, w / 3.0
+            return valid & (t_s >= lo) & (t_s <= hi)
+        factor = 0.5 ** (w - 3)
+        return valid & (t_s <= factor)
+    if 1 <= w <= 3:
+        third = numc // 3
+        return valid & (pos >= (w - 1) * third) & (pos < w * third)
+    start = numc // 2
+    if w >= 5:
+        start = start + numc // 4
+    if w >= 6:
+        start = start + numc // 8
+    return valid & (pos >= start)
+
+
 def _mdes_columns(plan, num, t0, span, any_neg, stacking):
     """Build the columns_fn closure for fused_segment_reduce."""
     sum_cols, max_cols, _ = plan
 
     def window_mask(w, pos, num, t_s):
-        num = num[:, None]
-        if stacking != "SBN":
-            raise NotImplementedError("fused path implements SBN stacking")
-        valid = pos < num
-        if w == 0:
-            return valid
-        if 1 <= w <= 3:
-            third = num // 3
-            return valid & (pos >= (w - 1) * third) & (pos < w * third)
-        start = num // 2
-        if w >= 5:
-            start = start + num // 4
-        if w >= 6:
-            start = start + num // 8
-        return valid & (pos >= start)
+        return _window_mask(w, pos, num, t_s, stacking)
 
     def selector(f, w, p, wmask):
         if f in ("timestamp_pos", "count_pos"):
@@ -173,24 +186,18 @@ def mdes_fused_batched(
     plan = _plan(windows, funcs, aggs)
     p_i = blocks.p.astype(jnp.int32)
 
-    def unsorted_window_mask(w):
-        numc = num[:, None]
-        if w == 0:
-            return valid
-        if 1 <= w <= 3:
-            third = numc // 3
-            return valid & (pos >= (w - 1) * third) & (pos < w * third)
-        start = numc // 2
-        if w >= 5:
-            start = start + numc // 4
-        if w >= 6:
-            start = start + numc // 8
-        return valid & (pos >= start)
-
+    t_s_unsorted = (t - t0[:, None]) / jnp.maximum(span[:, None], 1.0)
+    n_windows = 8 if stacking == "SBT" else 7
     any_neg = jnp.stack(
-        [jnp.any((p_i == -1) & unsorted_window_mask(w), axis=1) for w in range(7)],
+        [
+            jnp.any(
+                (p_i == -1) & _window_mask(w, pos, num, t_s_unsorted, stacking),
+                axis=1,
+            )
+            for w in range(n_windows)
+        ],
         axis=1,
-    )  # (B, 7)
+    )  # (B, 7 or 8)
 
     columns_fn = _mdes_columns(plan, num, t0, span, any_neg, stacking)
     sums, maxes = fused_segment_reduce(

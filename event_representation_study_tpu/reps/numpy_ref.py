@@ -146,8 +146,21 @@ def _windows_sbn(n):
     return w
 
 
-def mdes_np(ev, height, width, window_indexes, functions, aggregations):
-    """MixedDensityEventStack, SBN stacking (mixed_density_event_stack.py)."""
+def _windows_sbt(t_s):
+    """SBT windows over normalized time (mixed_density_event_stack.py:76-106):
+    full, 3 inclusive thirds, 4 prefixes t <= 1/2, 1/4, 1/8, 1/16."""
+    n = len(t_s)
+    w = [np.arange(n)]
+    for i in range(3):
+        w.append(np.where((t_s >= i / 3.0) & (t_s <= (i + 1) / 3.0))[0])
+    for k in range(1, 5):
+        w.append(np.where(t_s <= 0.5**k)[0])
+    return w
+
+
+def mdes_np(ev, height, width, window_indexes, functions, aggregations,
+            stacking: str = "SBN"):
+    """MixedDensityEventStack (mixed_density_event_stack.py), SBN or SBT."""
     n = len(ev)
     t = ev["t"].astype(np.float64)
     t = t - t.min()
@@ -156,7 +169,7 @@ def mdes_np(ev, height, width, window_indexes, functions, aggregations):
     p = ev["p"].astype(np.float64)
     x = ev["x"].astype(np.int64)
     y = ev["y"].astype(np.int64)
-    windows = _windows_sbn(n)
+    windows = _windows_sbt(t_s) if stacking == "SBT" else _windows_sbn(n)
     nseg = height * width
     out = np.zeros((height, width, len(window_indexes)))
     for c, (w, f, a) in enumerate(zip(window_indexes, functions, aggregations)):

@@ -77,10 +77,14 @@ class Trainer:
         aug = cfg.get("data_aug", {})
         # --augment enables the full recipe (mosaic/affine/flips/mixup)
         # planned on host, executed on device (train.py --augment semantics)
+        # per-host data sharding (the DistributedSampler replacement,
+        # data_load.py:115-117): every host reads a disjoint index stripe
+        shard_id, num_shards = jax.process_index(), jax.process_count()
         self.train_loader = EventBatchLoader(
             self.train_ds, batch_size, img_size=img_size, shuffle=True, seed=seed,
             flipud=aug.get("flipud", 0.0), fliplr=aug.get("fliplr", 0.0),
             hyp=dict(aug) if augment else None,
+            shard_id=shard_id, num_shards=num_shards,
         )
         self.val_loader = EventBatchLoader(
             self.val_ds, batch_size, img_size=img_size, shuffle=False, drop_last=False

@@ -99,3 +99,21 @@ def test_fused_other_reps_parity():
         np.testing.assert_allclose(
             outs["ts"][i], numpy_ref.time_surface_np(ev, H, W), rtol=5e-3, atol=5e-4
         )
+
+
+def test_fused_sbt_parity():
+    """SBT stacking on the fused kernel (r1 gap: fused path was SBN-only),
+    including the 8th window (t <= 1/16)."""
+    evs, batch = _batch([380, 260], [4, 5])
+    windows = (0, 1, 2, 3, 4, 5, 6, 7)
+    funcs = (
+        "count", "timestamp", "polarity", "count_pos", "timestamp_neg",
+        "count_neg", "timestamp_pos", "timestamp",
+    )
+    aggs = ("sum", "max", "variance", "mean", "mean", "sum", "max", "variance")
+    out = np.asarray(
+        mdes_fused_batched(batch, H, W, windows, funcs, aggs, "SBT", interpret=True)
+    )
+    for i, ev in enumerate(evs):
+        want = numpy_ref.mdes_np(ev, H, W, windows, funcs, aggs, "SBT")
+        np.testing.assert_allclose(out[i], want, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,160 @@
+"""I/O breadth: Prophesee .dat decode/stream, N-MNIST .bin, suffix dispatch,
+the Gen4 raw on-the-fly dataset + continuous sampler, Gen1 time-window mode,
+multi-host init no-op."""
+import numpy as np
+import pytest
+
+
+def _events(n=500, seed=0, h=100, w=120, dur=200_000):
+    from event_representation_study_tpu.events import generate_fake_events
+
+    return generate_fake_events(n, height=h, width=w, duration_us=dur, seed=seed)
+
+
+def test_dat_round_trip_and_streaming(tmp_path):
+    from event_representation_study_tpu.events.prophesee import (
+        EventDatReader,
+        read_dat,
+        write_dat,
+    )
+
+    ev = _events(800)
+    path = tmp_path / "rec.dat"
+    write_dat(path, ev, height=100, width=120)
+
+    back = read_dat(path)
+    for k in ("x", "y", "t", "p"):
+        np.testing.assert_array_equal(back[k], ev[k])
+
+    with EventDatReader(path) as r:
+        assert len(r) == 800
+        assert (r.height, r.width) == (100, 120)
+        a = r.load_n_events(100)
+        assert len(a) == 100
+        np.testing.assert_array_equal(a["x"], ev["x"][:100])
+        # delta-t window continues from the cursor
+        t0 = int(ev["t"][100])
+        span = int(ev["t"][400]) - t0
+        b = r.load_delta_t(span)
+        assert len(b) > 0
+        assert b["t"].max() < t0 + span
+        np.testing.assert_array_equal(b["x"], ev["x"][100:100 + len(b)])
+        # seek_time lands on the first event >= t
+        r.seek_time(int(ev["t"][600]))
+        c = r.load_n_events(1)
+        assert int(c["t"][0]) >= int(ev["t"][600])
+
+
+def test_nmnist_bin_round_trip_and_overflow(tmp_path):
+    from event_representation_study_tpu.events.prophesee import (
+        read_nmnist_bin,
+        write_nmnist_bin,
+    )
+
+    ev = _events(300, seed=1, h=34, w=34, dur=8000)
+    path = tmp_path / "d.bin"
+    write_nmnist_bin(path, ev)
+    back = read_nmnist_bin(path)
+    for k in ("x", "y", "t", "p"):
+        np.testing.assert_array_equal(back[k], ev[k])
+
+    # overflow rows (y == 240) add 2^13 us to every later event
+    raw = np.fromfile(path, np.uint8)
+    marker = np.array([0, 240, 0, 0, 0], np.uint8)
+    half = 5 * 150
+    with open(tmp_path / "o.bin", "wb") as f:
+        f.write(raw[:half].tobytes())
+        f.write(marker.tobytes())
+        f.write(raw[half:].tobytes())
+    over = read_nmnist_bin(tmp_path / "o.bin")
+    assert len(over) == 300
+    np.testing.assert_array_equal(over["t"][:150], ev["t"][:150])
+    np.testing.assert_array_equal(over["t"][150:], ev["t"][150:] + 2**13)
+
+
+def test_load_events_from_path_dispatch(tmp_path):
+    from event_representation_study_tpu.events.h5_io import load_events_from_path
+    from event_representation_study_tpu.events.prophesee import (
+        write_dat,
+        write_nmnist_bin,
+    )
+
+    ev = _events(200, seed=2, h=120, w=160, dur=5000)
+    write_dat(tmp_path / "a.dat", ev, 120, 160)
+    write_nmnist_bin(tmp_path / "a.bin", ev)
+    for suffix in ("a.dat", "a.bin"):
+        back = load_events_from_path(tmp_path / suffix)
+        np.testing.assert_array_equal(back["x"], ev["x"])
+        np.testing.assert_array_equal(back["p"], ev["p"])
+    with pytest.raises((ImportError, ValueError)):
+        load_events_from_path(tmp_path / "missing.bag")
+
+
+def test_gen4_raw_matches_consolidated(tmp_path):
+    """The on-the-fly raw dataset serves the same windows/labels as the
+    consolidated H5 path (gen4_2yolo_raw.py vs precompute_reps.py)."""
+    from event_representation_study_tpu.data.gen4 import (
+        Gen4Dataset,
+        Gen4RawDataset,
+        consolidate_npz,
+        write_gen4_npz_fixture,
+    )
+
+    files = write_gen4_npz_fixture(tmp_path / "npz", num_recordings=2,
+                                   n_events=4000, seed=3)
+    consolidate_npz(files, tmp_path / "training.h5")
+    cons = Gen4Dataset(tmp_path / "training.h5", task="train",
+                       num_events=2048, max_boxes=8)
+    raw = Gen4RawDataset(files, num_events=2048, max_boxes=8)
+    assert len(raw) == len(cons) > 0
+    for i in (0, len(raw) - 1):
+        a, b = raw[i], cons[i]
+        assert a.num_events == b.num_events
+        np.testing.assert_array_equal(a.events[:, : a.num_events],
+                                      b.events[:, : b.num_events])
+        assert a.num_labels == b.num_labels
+        np.testing.assert_allclose(a.labels, b.labels, atol=1e-6)
+
+
+def test_random_continuous_sampler():
+    from event_representation_study_tpu.data.gen4 import random_continuous_indices
+
+    rng = np.random.default_rng(0)
+    idx = random_continuous_indices(20, 2, exclude=[7], rng=rng)
+    assert len(idx) % 2 == 0
+    pairs = idx.reshape(-1, 2)
+    # every pair is contiguous and aligned
+    assert (pairs[:, 1] - pairs[:, 0] == 1).all()
+    assert (pairs[:, 0] % 2 == 0).all()
+    # the chunk containing the excluded boundary (6, 7) is dropped
+    assert 7 not in idx and 6 not in idx
+    assert 0 in idx and 19 in idx
+
+
+def test_gen1_time_window_mode(tmp_path):
+    from event_representation_study_tpu.data.gen1 import Gen1H5, write_gen1_fixture
+
+    write_gen1_fixture(tmp_path / "training.h5", num_files=1, boxes_per_file=4,
+                       events_per_file=5000, seed=4)
+    tw = 30_000
+    ds = Gen1H5(tmp_path, task="train", num_events=4096, time_window=tw,
+                window_mode="time")
+    counts = []
+    for i in range(len(ds)):
+        s = ds[i]
+        n = s.num_events
+        if n > 1:
+            span = int(s.events[2, n - 1]) - int(s.events[2, 0])
+            assert span <= tw
+        counts.append(n)
+    ds_count = Gen1H5(tmp_path, task="train", num_events=4096)
+    # time windows are never longer than the count windows
+    for i, n in enumerate(counts):
+        assert n <= ds_count[i].num_events
+
+
+def test_init_distributed_single_host():
+    from event_representation_study_tpu.parallel.dist import init_distributed
+
+    pid, pcount = init_distributed()
+    assert pid == 0 and pcount == 1

@@ -63,14 +63,16 @@ def test_ergo12(fake_events):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("stacking", ["SBN"])
+@pytest.mark.parametrize("stacking", ["SBN", "SBT"])
 def test_mdes_all_funcs_aggs(stacking):
-    """Sweep every (window, function, aggregation) combination once."""
+    """Sweep every (window, function, aggregation) combination once.
+    SBT exposes 8 windows (the 4 time prefixes), SBN 7."""
     ev = generate_fake_events(5000, height=H, width=W, seed=3)
     from event_representation_study_tpu.reps.mdes import AGGREGATIONS, FUNCTIONS
 
+    n_windows = 8 if stacking == "SBT" else 7
     windows, funcs, aggs = [], [], []
-    for w in range(7):
+    for w in range(n_windows):
         for i, f in enumerate(FUNCTIONS):
             windows.append(w)
             funcs.append(f)
@@ -78,7 +80,7 @@ def test_mdes_all_funcs_aggs(stacking):
     got = np.asarray(
         mixed_density_event_stack(_block(ev), H, W, windows, funcs, aggs, stacking)
     )
-    want = ref.mdes_np(ev, H, W, windows, funcs, aggs)
+    want = ref.mdes_np(ev, H, W, windows, funcs, aggs, stacking)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
