@@ -31,7 +31,6 @@ LOADER_TO_REP = {
     "reshape_then_to_image": "ToImage",
     "reshape_then_tore": "TORE",
     "reshape_then_time_surface": "ToTimesurface",
-    "reshape_then_acc_count": "ToImage",  # count histogram baseline
 }
 
 
@@ -105,10 +104,29 @@ class NImageNetDataset:
         return len(self.files)
 
     @property
-    def representation(self) -> str:
-        return LOADER_TO_REP[self.loader_type]
+    def representation(self) -> Optional[str]:
+        """Device representation name, or None when the loader type is one
+        of the original host aggregation functions (nimagenet_loaders.py) —
+        then __getitem__ serves prebuilt images."""
+        if self.loader_type in LOADER_TO_REP:
+            return LOADER_TO_REP[self.loader_type]
+        from .nimagenet_loaders import HOST_LOADERS
 
-    def __getitem__(self, idx: int) -> NImageNetSample:
+        if self.loader_type in HOST_LOADERS:
+            return None
+        raise ValueError(f"unknown loader_type: {self.loader_type}")
+
+    @property
+    def channels(self) -> int:
+        if self.representation is not None:
+            from ..reps.dispatch import REPRESENTATION_CHANNELS
+
+            return REPRESENTATION_CHANNELS[self.representation]
+        from .nimagenet_loaders import LOADER_CHANNELS
+
+        return LOADER_CHANNELS[self.loader_type]
+
+    def _event_tensor(self, idx: int) -> np.ndarray:
         raw = np.load(self.files[idx])["event_data"]
         if raw.dtype.names:  # structured
             ev = np.stack(
@@ -121,11 +139,27 @@ class NImageNetDataset:
         ev[:, 3] = np.where(p > 0, 1, -1)
         if self.reshape_method == "sample":
             ev = reshape_event_with_sample(ev, SENSOR_H, SENSOR_W, IMAGE_H, IMAGE_W, self.rng)
+        elif self.reshape_method == "unique":
+            from .nimagenet_loaders import reshape_event_unique
+
+            ev = reshape_event_unique(ev, SENSOR_H, SENSOR_W, IMAGE_H, IMAGE_W)
         else:
             ev = reshape_event_no_sample(ev, SENSOR_H, SENSOR_W, IMAGE_H, IMAGE_W)
         ev = slice_events_random(ev, self.slice_length, self.rng)
         if self.augment:
             ev = base_augment(ev, IMAGE_W, self.rng)
+        ev[:, 0] = np.clip(ev[:, 0], 0, IMAGE_W - 1)
+        ev[:, 1] = np.clip(ev[:, 1], 0, IMAGE_H - 1)
+        return ev
+
+    def host_image(self, idx: int) -> np.ndarray:
+        """Prebuilt (H, W, C) image via the original aggregation fns."""
+        from .nimagenet_loaders import HOST_LOADERS
+
+        return HOST_LOADERS[self.loader_type](self._event_tensor(idx))
+
+    def __getitem__(self, idx: int) -> NImageNetSample:
+        ev = self._event_tensor(idx)
 
         n = len(ev)
         out = np.zeros((4, self.slice_length), np.int32)

@@ -1,0 +1,156 @@
+"""Original N-ImageNet loader types (nimagenet_loaders.py), the unique
+reshape, and the classifier's freeze / plateau / checkpoint features."""
+import numpy as np
+import pytest
+
+
+def _ev(n=400, seed=0, H=224, W=224):
+    rng = np.random.default_rng(seed)
+    ev = np.zeros((n, 4))
+    ev[:, 0] = rng.integers(0, W, n)
+    ev[:, 1] = rng.integers(0, H, n)
+    ev[:, 2] = np.sort(rng.uniform(0, 1, n))
+    ev[:, 3] = rng.choice([-1, 1], n)
+    return ev
+
+
+def test_loader_channels_and_shapes():
+    from event_representation_study_tpu.data.nimagenet_loaders import (
+        HOST_LOADERS,
+        LOADER_CHANNELS,
+    )
+
+    ev = _ev()
+    for name, fn in HOST_LOADERS.items():
+        out = fn(ev)
+        assert out.shape == (224, 224, LOADER_CHANNELS[name]), name
+        assert np.isfinite(out).all(), name
+
+
+def test_acc_semantics():
+    """Hand-checkable case: two pos events at one pixel, one neg at another."""
+    from event_representation_study_tpu.data.nimagenet_loaders import (
+        reshape_then_acc,
+        reshape_then_acc_count,
+        reshape_then_acc_exp,
+        reshape_then_acc_intensity,
+    )
+
+    ev = np.array([
+        [3, 2, 0.0, 1],
+        [3, 2, 0.5, 1],
+        [7, 5, 1.0, -1],
+    ], float)
+    out = reshape_then_acc_count(ev)
+    assert out[2, 3, 0] == 2  # pos count
+    assert out[5, 7, 2] == 1  # neg count
+    assert out[2, 3, 1] == pytest.approx(0.5)  # last pos time
+    assert out[5, 7, 3] == pytest.approx(1.0)
+
+    nrm = reshape_then_acc(ev)
+    assert nrm[2, 3, 0] == pytest.approx(1.0)  # max-normalized count
+
+    ex = reshape_then_acc_exp(ev)
+    assert ex[2, 3, 0] == pytest.approx(np.exp(-(1 - 0.5) / 0.3))
+    assert ex[5, 7, 1] == pytest.approx(1.0)
+
+    it = reshape_then_acc_intensity(ev)
+    assert it[2, 3, 0] == pytest.approx(1.0)  # most positive
+    assert it[5, 7, 0] == pytest.approx(0.0)  # most negative
+
+
+def test_adj_sort_properties():
+    from event_representation_study_tpu.data.nimagenet_loaders import (
+        reshape_then_acc_adj_sort,
+    )
+
+    out = reshape_then_acc_adj_sort(_ev(seed=1))
+    assert out.shape == (224, 224, 2)
+    assert 0 <= out.min() and out.max() < 1.0
+    # rank normalization: values form a sorted grid with many zeros
+    assert (out == 0).mean() > 0.5
+
+
+def test_reshape_event_unique():
+    from event_representation_study_tpu.data.nimagenet_loaders import (
+        reshape_event_unique,
+    )
+
+    ev = np.array([
+        [10, 10, 0.001, 1],
+        [10, 10, 0.001, 1],   # exact duplicate -> removed
+        [10, 10, 0.002, -1],  # different time -> kept
+    ], float)
+    out = reshape_event_unique(ev, 480, 640, 224, 224)
+    assert len(out) == 2
+
+
+def test_dataset_host_loader_and_unique(tmp_path):
+    from event_representation_study_tpu.data.nimagenet import (
+        NImageNetDataset,
+        write_nimagenet_fixture,
+    )
+
+    files, labels = write_nimagenet_fixture(tmp_path, num_classes=2,
+                                               per_class=2, n_events=1000)
+    ds = NImageNetDataset(files, labels, loader_type="reshape_then_acc_all",
+                          slice_length=512)
+    assert ds.representation is None
+    assert ds.channels == 6
+    img = ds.host_image(0)
+    assert img.shape == (224, 224, 6)
+
+    ds_u = NImageNetDataset(files, labels, loader_type="reshape_then_to_image",
+                            slice_length=512, reshape_method="unique")
+    s = ds_u[0]
+    assert s.num_events <= 1000
+
+
+def test_classifier_host_images_freeze_plateau_ckpt(tmp_path):
+    import jax
+
+    from event_representation_study_tpu.data.nimagenet import (
+        NImageNetDataset,
+        write_nimagenet_fixture,
+    )
+    from event_representation_study_tpu.models.resnet import EventResNet
+    from event_representation_study_tpu.train.classifier import ClassifierTrainer
+
+    files, labels = write_nimagenet_fixture(tmp_path, num_classes=2,
+                                               per_class=2, n_events=600)
+    ds = NImageNetDataset(files, labels, loader_type="reshape_then_acc_count_pol",
+                          slice_length=256)
+    model = EventResNet(num_classes=2, arch="ResNet18", stem_kernel=7)
+    tr = ClassifierTrainer(model, representation=None, num_classes=2,
+                           freeze="all_except_fc", plateau=True, lr=0.01)
+    tr.init(batch_size=2, channels=ds.channels)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), tr.state.params)
+    stats = tr.run_epoch(ds, batch_size=2, train=True)
+    assert np.isfinite(stats["loss"])
+    # frozen body unchanged, head trained
+    body_diff = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(
+            jax.tree.leaves(tr.state.params["conv1"]), jax.tree.leaves(p0["conv1"])
+        )
+    )
+    fc_diff = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(
+            jax.tree.leaves(tr.state.params["fc"]), jax.tree.leaves(p0["fc"])
+        )
+    )
+    assert body_diff == 0.0 and fc_diff > 0.0
+
+    # plateau: no improvement for patience+1 epochs halves... scales lr by 0.1
+    assert tr.plateau_step(0.5) == pytest.approx(0.01)
+    assert tr.plateau_step(0.5) == pytest.approx(0.01)
+    assert tr.plateau_step(0.5) == pytest.approx(0.01)
+    assert tr.plateau_step(0.5) == pytest.approx(0.001)
+
+    # checkpoint round trip (r1 gap: classifier had no save/resume)
+    tr.save(tmp_path / "clf_ck", epoch=3)
+    step_before = int(tr.state.step)
+    tr.state = tr.state._replace(step=tr.state.step * 0)
+    start = tr.load(tmp_path / "clf_ck")
+    assert start == 4 and int(tr.state.step) == step_before
