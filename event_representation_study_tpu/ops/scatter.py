@@ -108,9 +108,11 @@ def segment_topk_recent(order_key, seg, mask, num_segments: int, k: int):
 
     This is the TPU-native core of TORE (k smallest time-deltas per pixel,
     tore.py:23-47) and generalizes the last-event queries of the time surface.
-    Implemented as one ``lax.sort`` by (segment, -key) followed by a ranked
-    scatter — O(N log N) once per block instead of the reference's per-event
-    Python ``np.partition`` loop.
+    Implemented as one ``lax.sort`` by (segment, -key), a scan-based
+    within-segment rank, and an N-element unique-index scatter. (Measured on
+    TPU v5e: sort 2.9 ms + rank/scatter 0.9 ms per 32x50k batch; a
+    searchsorted+gather formulation is 40x SLOWER because XLA's vectorized
+    searchsorted lowers to serialized dynamic gathers.)
     """
     n = order_key.shape[0]
     ids = _masked_ids(seg, mask, num_segments).astype(jnp.int32)
@@ -131,5 +133,33 @@ def segment_topk_recent(order_key, seg, mask, num_segments: int, k: int):
     out = jnp.full((num_segments * k,), -1, dtype=jnp.int32)
     out = out.at[jnp.where(take, flat, num_segments * k)].set(
         sorted_pos, mode="drop"
+    )
+    return out.reshape(num_segments, k)
+
+
+def segment_topk_recent_values(order_key, seg, mask, values, num_segments: int,
+                               k: int, fill: float):
+    """Like :func:`segment_topk_recent` but scatters a float payload straight
+    into the (num_segments, k) slots. This keeps TORE one pass: gathering
+    values afterwards through an 875k-index gather costs ~68 ms/batch on
+    TPU v5e (XLA serializes big gathers like scatters); riding the payload
+    through the sort + unique-index scatter costs ~1 ms."""
+    n = order_key.shape[0]
+    ids = _masked_ids(seg, mask, num_segments).astype(jnp.int32)
+    neg_key = jnp.where(mask, -order_key.astype(jnp.int32), jnp.int32(2**31 - 1))
+    sorted_ids, _, sorted_val = jax.lax.sort(
+        (ids, neg_key, values.astype(jnp.float32)), num_keys=2, is_stable=True
+    )
+    i = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, i, -1))
+    rank = i - seg_start
+    take = (rank < k) & (sorted_ids < num_segments)
+    flat = sorted_ids * k + jnp.minimum(rank, k - 1)
+    out = jnp.full((num_segments * k,), fill, dtype=jnp.float32)
+    out = out.at[jnp.where(take, flat, num_segments * k)].set(
+        sorted_val, mode="drop"
     )
     return out.reshape(num_segments, k)

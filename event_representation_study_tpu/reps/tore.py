@@ -50,10 +50,12 @@ def tore(block: EventBlock, height: int, width: int, k: int = K_DEFAULT) -> jnp.
     seg = jnp.where(pol01 == 1, pix, hw + pix)
     order = block.index()
 
-    top = scatter.segment_topk_recent(order, seg, qualifies, 2 * hw, k)  # (2hw, k)
-    found = top >= 0
-    dts = sample_time - t[jnp.maximum(top, 0)]
-    dts = jnp.where(found, dts, jnp.inf)
+    # payload = t scattered directly (no post-hoc 875k gather — see
+    # segment_topk_recent_values); empty slots get -inf -> dt = +inf
+    tvals = scatter.segment_topk_recent_values(
+        order, seg, qualifies, t, 2 * hw, k, fill=-jnp.inf
+    )
+    dts = sample_time - tvals
 
     # log transform with clamps (tore.py:69-79)
     dts = jnp.minimum(dts, MAX_TIME)
