@@ -145,3 +145,115 @@ def fit_categorical_kernels(
     rng, k2 = jax.random.split(rng)
     draws = jax.vmap(draw_one)(jax.random.split(k2, n_draws))
     return draws  # (n_draws, obs, total)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("option_counts", "n_continuous", "train_steps", "n_draws"),
+)
+def fit_mixed_kernels(
+    rng: jax.Array,
+    cat_obs: jnp.ndarray,  # (obs, Dcat) int32 option indices (Dcat may be 0)
+    option_counts: Tuple[int, ...],
+    cont_obs: jnp.ndarray,  # (obs, Dc) float in [0, 1] (Dc may be 0)
+    n_continuous: int,
+    train_steps: int = TRAIN_STEPS,
+    n_draws: int = N_DRAWS,
+):
+    """Mixed categorical + continuous kernels — the full head structure of
+    gryffin's BNN (torch_interface/bnn.py:183-249): categorical dims get
+    softmax kernels, continuous dims get sigmoid-supported Normal kernels
+    with softplus-parametrized precision (the Gamma-precision scale of the
+    reference, collapsed to its mean).
+
+    Returns (cat_probs (draws, obs, total_options),
+             locs (draws, obs, Dc), sqrt_prec (draws, obs, Dc)).
+    """
+    dims = len(option_counts)
+    offsets = np.concatenate([[0], np.cumsum(option_counts)]).astype(int)[:-1]
+    total = int(sum(option_counts))
+    n_obs = cont_obs.shape[0] if n_continuous else cat_obs.shape[0]
+    parts = []
+    if dims:
+        parts.append(
+            jnp.concatenate(
+                [jax.nn.one_hot(cat_obs[:, d], option_counts[d]) for d in range(dims)],
+                axis=-1,
+            )
+        )
+    if n_continuous:
+        parts.append(cont_obs)
+    x_in = jnp.concatenate(parts, axis=-1)
+
+    out_dim = total + 2 * n_continuous  # logits + (loc_raw, prec_raw) per dim
+    layer_dims = (x_in.shape[-1],) + (HIDDEN,) * (N_LAYERS - 1) + (out_dim,)
+    rng, k0 = jax.random.split(rng)
+    params = _init(k0, layer_dims)
+
+    import optax
+
+    tx = optax.adam(LR)
+    opt = tx.init(params)
+
+    def eps_like(p, k):
+        leaves = []
+        for mu, rho in zip(p.mus + p.mub, p.rhos + p.rhob):
+            k, kk = jax.random.split(k)
+            leaves.append(jax.random.normal(kk, mu.shape))
+        n = len(p.mus)
+        out = []
+        for i in range(n):
+            out.extend([leaves[i], leaves[n + i]])
+        return out
+
+    def heads(logits):
+        cat = logits[:, :total]
+        loc = jax.nn.sigmoid(logits[:, total : total + n_continuous])
+        sqrt_prec = jax.nn.softplus(
+            logits[:, total + n_continuous :]
+        ) + 1.0  # floor keeps kernels from flattening early in training
+        return cat, loc, sqrt_prec
+
+    def loss_fn(p, k):
+        eps = eps_like(p, k)
+        cat, loc, sqrt_prec = heads(_forward(p, eps, x_in))
+        nll = 0.0
+        for d in range(dims):
+            sl = cat[:, offsets[d] : offsets[d] + option_counts[d]]
+            logp = jax.nn.log_softmax(sl, axis=-1)
+            nll -= jnp.mean(
+                jnp.take_along_axis(logp, cat_obs[:, d : d + 1], axis=-1)
+            )
+        if n_continuous:
+            z = sqrt_prec * (cont_obs - loc)
+            nll += jnp.mean(0.5 * z * z - jnp.log(sqrt_prec))
+        return nll + 1e-3 * _kl(p) / max(n_obs, 1)
+
+    def train_body(carry, k):
+        p, opt_state = carry
+        g = jax.grad(loss_fn)(p, k)
+        updates, opt_state = tx.update(g, opt_state)
+        p = jax.tree.map(lambda a, u: a + u, p, updates)
+        return (p, opt_state), None
+
+    rng, k1 = jax.random.split(rng)
+    (params, _), _ = jax.lax.scan(
+        train_body, (params, opt), jax.random.split(k1, train_steps)
+    )
+
+    def draw_one(k):
+        cat, loc, sqrt_prec = heads(_forward(params, eps_like(params, k), x_in))
+        outs = []
+        for d in range(dims):
+            sl = cat[:, offsets[d] : offsets[d] + option_counts[d]]
+            outs.append(jax.nn.softmax(sl, axis=-1))
+        cat_p = (
+            jnp.concatenate(outs, axis=-1)
+            if dims
+            else jnp.zeros((n_obs, 0))
+        )
+        return cat_p, loc, sqrt_prec
+
+    rng, k2 = jax.random.split(rng)
+    cat_probs, locs, sqrt_prec = jax.vmap(draw_one)(jax.random.split(k2, n_draws))
+    return cat_probs, locs, sqrt_prec

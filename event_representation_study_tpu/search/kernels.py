@@ -97,3 +97,77 @@ def feasibility_posterior(
     num = prior_infeas * d_infeas
     den = (1.0 - prior_infeas) * d_feas + num
     return num / (den + 1e-12)
+
+
+def reshape_probs_one_dim(cat_probs: jnp.ndarray, descriptors: jnp.ndarray):
+    """Descriptor-space reshaping of one categorical dimension's kernels —
+    the XLA twin of the OpenMP Cython kernel
+    (gryffin/src/gryffin/bayesian_network/kernel_prob_reshaping.pyx:30-70):
+    per (draw, obs): the prob-weighted average descriptor, per-option
+    descriptor distances, softmax(-distance).
+
+    cat_probs (draws, obs, n_options); descriptors (n_options, n_desc).
+    NOTE: the Cython loop overwrites ``averaged_descriptor`` per descriptor
+    index, so only the LAST descriptor's average survives (a reference bug);
+    this implementation uses the full per-descriptor average vector.
+    """
+    K = descriptors.shape[0]
+    avg = jnp.einsum("sok,kd->sod", cat_probs, descriptors)
+    diff = K * (descriptors[None, None, :, :] - avg[:, :, None, :])
+    dist = jnp.sqrt(jnp.mean(diff * diff, axis=-1))  # (s, o, K)
+    return jax.nn.softmax(-dist, axis=-1)
+
+
+def reshape_probs(cat_probs: jnp.ndarray, descriptors_per_dim,
+                  option_counts) -> jnp.ndarray:
+    """Apply per-dimension descriptor reshaping over the concatenated
+    option axis; dims with ``None`` descriptors keep their raw kernels
+    (gryffin's naive-vs-static categories)."""
+    out = []
+    off = 0
+    for count, desc in zip(option_counts, descriptors_per_dim):
+        block = cat_probs[..., off : off + count]
+        if desc is not None:
+            block = reshape_probs_one_dim(block, jnp.asarray(desc, jnp.float32))
+        out.append(block)
+        off += count
+    return jnp.concatenate(out, axis=-1)
+
+
+class MixedKernelModel(NamedTuple):
+    """Kernels for mixed categorical + continuous spaces
+    (kernel_evaluations.pyx:19-26 gaussian factors x :146-151 categorical)."""
+
+    cat_probs: jnp.ndarray  # (draws, obs, total_options) (total may be 0)
+    offsets: jnp.ndarray  # (Dcat,)
+    locs: jnp.ndarray  # (draws, obs, Dc) (Dc may be 0)
+    sqrt_prec: jnp.ndarray  # (draws, obs, Dc)
+    objs: jnp.ndarray  # (obs,)
+    inv_vol: float
+
+
+@jax.jit
+def mixed_probs(model: MixedKernelModel, cat_samples: jnp.ndarray,
+                cont_samples: jnp.ndarray) -> jnp.ndarray:
+    """probs (S, obs): mean over draws of the product kernel."""
+    prod = 1.0
+    if model.cat_probs.shape[-1]:
+        idx = model.offsets[None, :] + cat_samples  # (S, Dcat)
+        p = model.cat_probs[:, :, idx]  # (draws, obs, S, Dcat)
+        prod = prod * jnp.prod(p, axis=-1)
+    if model.locs.shape[-1]:
+        x = cont_samples[None, None, :, :]  # (1, 1, S, Dc)
+        loc = model.locs[:, :, None, :]
+        sp = model.sqrt_prec[:, :, None, :]
+        g = INV_SQRT_2PI * sp * jnp.exp(-0.5 * (sp * (x - loc)) ** 2)
+        prod = prod * jnp.prod(g, axis=-1)  # (draws, obs, S)
+    return jnp.mean(prod, axis=0).T  # (S, obs)
+
+
+@jax.jit
+def mixed_acquisition_values(model: MixedKernelModel, cat_samples, cont_samples,
+                             lam: jnp.ndarray):
+    probs = mixed_probs(model, cat_samples, cont_samples)
+    num = probs @ model.objs
+    den = jnp.sum(probs, axis=-1)
+    return (num + lam) / (model.inv_vol + den)
