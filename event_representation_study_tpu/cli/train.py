@@ -36,6 +36,8 @@ def get_args_parser():
     p.add_argument("--stop-aug-last-n-epoch", type=int, default=15,
                    help="zero mosaic/mixup for the last N epochs "
                         "(engine.py:475-480)")
+    p.add_argument("--plot-images", action="store_true",
+                   help="write train-batch/val-pred mosaics (engine.py:719-913)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--override", nargs="*", default=[],
                    help="dotted-key config overrides, e.g. model.depth_multiple=0.5")
@@ -74,6 +76,7 @@ def main(args=None):
         seed=args.seed,
         augment=args.augment,
         stop_aug_last_n_epoch=args.stop_aug_last_n_epoch,
+        plot_images=args.plot_images,
     )
     if args.checkpoint:
         from ..train.checkpoint import restore_train_state

@@ -58,6 +58,7 @@ class Trainer:
         augment: bool = False,
         stop_aug_last_n_epoch: int = 15,
         nominal_batch_size: int = 64,
+        plot_images: bool = False,
     ):
         self.cfg = cfg
         self.epochs = epochs
@@ -179,6 +180,8 @@ class Trainer:
             use_tensorboard=bool(cfg.get("use_tensorboard")),
         )
         self.log_interval = 200  # loss every 200 steps (engine.py:264-265)
+        self.plot_images = plot_images
+        self._plotted_train_batch = False
 
     def _shard(self, batch: Batch) -> Batch:
         s = data_sharding(self.mesh)
@@ -210,6 +213,21 @@ class Trainer:
                 t0 = time.time()
                 losses = []
                 for batch, _ in self.train_loader:
+                    if (
+                        self.plot_images
+                        and not self._plotted_train_batch
+                        and self.evaler._images is not None
+                    ):
+                        # train-batch mosaic with gt boxes (engine.py:719-780)
+                        from ..utils.viz import plot_train_batch
+
+                        imgs = np.asarray(self.evaler._images(batch.events))
+                        plot_train_batch(
+                            imgs, np.asarray(batch.gt_bboxes),
+                            np.asarray(batch.gt_mask),
+                            path=str(self.output_dir / "train_batch.png"),
+                        )
+                        self._plotted_train_batch = True
                     batch = self._shard(batch)
                     self.state, parts = self.train_step(
                         self.state, batch, jnp.int32(epoch)
@@ -233,7 +251,10 @@ class Trainer:
 
     def eval_and_save(self, epoch: int) -> Dict[str, float]:
         variables = self.state.ema.variables
-        stats = self.evaler.run(variables)
+        stats = self.evaler.run(
+            variables,
+            plot_dir=str(self.output_dir) if self.plot_images else None,
+        )
         self.writer.log(
             {f"val/{k}": v for k, v in stats.items()
              if isinstance(v, (int, float))},

@@ -42,6 +42,21 @@ class Evaler:
         self._eval_step = make_eval_step(
             model, representation, rep_hw=(ds.height, ds.width), img_size=img_size
         )
+        # letterboxed 0-255 images for the plotting paths (engine.py:719-913)
+        if representation and representation != "LearnedRepresentation":
+            import jax as _jax
+
+            from ..ops.image import letterbox_image
+            from ..reps.dispatch import batched_representation
+
+            rep_fn = batched_representation(
+                representation, ds.height, ds.width
+            )
+            self._images = _jax.jit(
+                lambda ev: letterbox_image(rep_fn(ev), img_size)
+            )
+        else:
+            self._images = None
         self._nms = jax.jit(
             lambda p: non_max_suppression(
                 p, conf_thres=conf_thres, iou_thres=iou_thres
@@ -49,7 +64,7 @@ class Evaler:
         )
 
     def run(self, variables, do_pr_metric: bool = False,
-            speed_only: bool = False) -> Dict[str, float]:
+            speed_only: bool = False, plot_dir=None) -> Dict[str, float]:
         """COCO evaluation with the reference's 4-slot speed accounting
         (n / pre / infer+NMS / post, evaler.py:138-177): pre = host->device
         batch staging, infer = fused rep+forward+NMS on device (the
@@ -69,6 +84,7 @@ class Evaler:
 
             pr = PRMetric(self.num_classes)
         speed = {"n": 0, "pre_ms": 0.0, "infer_ms": 0.0, "post_ms": 0.0}
+        plotted = plot_dir is None
         for batch, indices in self.loader:
             t_pre = time.perf_counter()
             batch = jax.device_put(batch)
@@ -80,6 +96,18 @@ class Evaler:
             counts = np.asarray(counts)
             t1 = time.perf_counter()
             nb = dets.shape[0]
+            if not plotted and self._images is not None:
+                import pathlib
+
+                from ..utils.viz import plot_val_predictions
+
+                imgs = np.asarray(self._images(batch.events))
+                plot_val_predictions(
+                    imgs, dets, counts, np.asarray(batch.gt_bboxes),
+                    np.asarray(batch.gt_mask),
+                    path=str(pathlib.Path(plot_dir) / "val_pred.png"),
+                )
+                plotted = True
             if not speed_only:
                 labels = np.asarray(batch.gt_labels)
                 boxes = np.asarray(batch.gt_bboxes)
