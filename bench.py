@@ -84,6 +84,29 @@ def main():
         "vs_baseline": round(device_eps / baseline_eps, 2),
     }
 
+    # --- TORE throughput (the r1 straggler; now sort+scan+payload-scatter)
+    try:
+        tore_fn = batched_representation("TORE", H, W)
+
+        @jax.jit
+        def tore_loop(blocks):
+            def body(acc, _):
+                r = tore_fn(blocks)
+                return acc + jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0)), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=INNER_ITERS)
+            return acc
+
+        float(tore_loop(batch))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(tore_loop(batch))
+        dt_tore = (time.perf_counter() - t0) / (iters * INNER_ITERS)
+        result["tore_events_per_s"] = round(B * N / dt_tore)
+        result["tore_ms_per_batch"] = round(dt_tore * 1e3, 2)
+    except Exception as e:  # pragma: no cover
+        result["tore_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # --- detector training-step benchmark (paper model, bf16 vs f32) -----
     # The reference publishes no step-time numbers; this records ours so the
     # bf16 path is exercised and regression-tracked (VERDICT r1 item 8).
