@@ -112,11 +112,25 @@ def select_diverse(
     values: np.ndarray,
     previous: Optional[np.ndarray],
     n: int = 1,
+    diversity_penalty: float = 0.0,
 ) -> np.ndarray:
-    """Diversity-penalized batch selection (gryffin sample_selector): prefer
-    low acquisition but penalize duplicates of already-selected samples."""
-    chosen = []
+    """Diversity-penalized batch selection (gryffin
+    sample_selector/sample_selector.py:137 ``select``): exact duplicates of
+    already-evaluated samples are skipped; with ``diversity_penalty`` > 0 the
+    acquisition of each candidate is additionally penalized by
+    ``exp(-min hamming distance to prior samples)`` before ranking, pushing
+    the batch apart (the reference's distance-based punishment)."""
     prev = [] if previous is None else [tuple(p) for p in previous]
+    if diversity_penalty > 0 and prev:
+        prev_arr = np.asarray(previous)
+        dmin = np.min(
+            (candidates[:, None, :] != prev_arr[None, :, :]).sum(-1), axis=1
+        )
+        span = max(values.max() - values.min(), 1e-9)
+        values = values + diversity_penalty * span * np.exp(-dmin.astype(float))
+        order = np.argsort(values)
+        candidates, values = candidates[order], values[order]
+    chosen = []
     for cand, v in zip(candidates, values):
         key = tuple(cand)
         if key in prev or any(tuple(c) == key for c in chosen):
@@ -127,3 +141,19 @@ def select_diverse(
     while len(chosen) < n and len(candidates):
         chosen.append(candidates[0])
     return np.asarray(chosen)
+
+
+def enumerate_feasible(option_counts: Sequence[int], known_constraints=None,
+                       limit: int = 4096) -> Optional[np.ndarray]:
+    """All feasible combinations when the categorical grid is small — the
+    exhaustive-option mode of gryffin's sample selector (fully-categorical
+    spaces; the study's 7x7x4 grid has only 196 points, so the acquisition
+    argmin is exact). Returns None when the grid exceeds ``limit``."""
+    total = int(np.prod(option_counts))
+    if total > limit:
+        return None
+    grids = np.meshgrid(*[np.arange(c) for c in option_counts], indexing="ij")
+    cand = np.stack([g.reshape(-1) for g in grids], axis=-1).astype(np.int64)
+    if known_constraints is not None:
+        cand = cand[_feasible_mask(cand, known_constraints)]
+    return cand

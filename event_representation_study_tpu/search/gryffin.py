@@ -93,7 +93,12 @@ class Gryffin:
         sampling_strategies: Sequence[float] = (-1, 1),
         objective_key: str = "obj",
     ) -> List[Dict]:
-        from .acquisition import optimize_acquisition, random_feasible, select_diverse
+        from .acquisition import (
+            enumerate_feasible,
+            optimize_acquisition,
+            random_feasible,
+            select_diverse,
+        )
 
         n_batch = len(sampling_strategies)
         scored = [o for o in observations if objective_key in o]
@@ -161,6 +166,12 @@ class Gryffin:
             self.rng, self.option_counts, 256, self._constraint_vec()
         )
 
+        # exhaustive-option mode (sample_selector's fully-categorical path):
+        # small grids get the exact acquisition argmin instead of the GA
+        exhaustive = enumerate_feasible(
+            self.option_counts, self._constraint_vec()
+        )
+
         selected = []
         prev = X_all
         for lam_strategy in sampling_strategies:
@@ -185,11 +196,27 @@ class Gryffin:
                 acq = acq_fn
             else:
                 acq = (model, lam)
-            cands, vals = optimize_acquisition(
-                acq, self.option_counts, self.rng, self._constraint_vec()
+            if exhaustive is not None:
+                if isinstance(acq, tuple):
+                    vals = np.asarray(
+                        acquisition_values(
+                            model, jnp.asarray(exhaustive), jnp.float32(lam)
+                        )
+                    )
+                else:
+                    vals = np.asarray(acq(exhaustive))
+                order = np.argsort(vals)
+                cands, vals = exhaustive[order], vals[order]
+            else:
+                cands, vals = optimize_acquisition(
+                    acq, self.option_counts, self.rng, self._constraint_vec()
+                )
+            pick = select_diverse(
+                cands, vals,
+                np.concatenate([prev] + [
+                    np.asarray(selected).reshape(-1, len(self.params))
+                ]) if selected else prev,
+                n=1, diversity_penalty=0.1,
             )
-            pick = select_diverse(cands, vals, np.concatenate([prev] + [
-                np.asarray(selected).reshape(-1, len(self.params))
-            ]) if selected else prev, n=1)
             selected.append(pick[0])
         return [self._decode(s) for s in selected]

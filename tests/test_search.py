@@ -206,3 +206,38 @@ def test_infeasible_observations_fia_blend():
     for r in recs:
         assert r["p0"] != "o0"
         assert r["p0"] in space[0].options and r["p1"] in space[1].options
+
+
+def test_enumerate_feasible_and_diversity_penalty():
+    from event_representation_study_tpu.search.acquisition import (
+        enumerate_feasible,
+        select_diverse,
+    )
+
+    cand = enumerate_feasible((3, 4), lambda v: v[0] != 0)
+    assert cand.shape == (8, 2)  # 12 combos minus 4 with v[0]==0
+    assert (cand[:, 0] != 0).all()
+    assert enumerate_feasible((100, 100), limit=4096) is None
+
+    # diversity: with equal acquisition values, the pick farthest from the
+    # previous samples wins
+    cands = np.array([[0, 0], [2, 3]])
+    vals = np.array([0.5, 0.5])
+    prev = np.array([[0, 1]])  # hamming 1 to [0,0], 2 to [2,3]
+    pick = select_diverse(cands, vals, prev, n=1, diversity_penalty=1.0)
+    assert tuple(pick[0]) == (2, 3)
+
+
+def test_exhaustive_mode_never_repeats_evaluated_points():
+    """On a small grid the recommend loop enumerates the acquisition exactly
+    and the selector skips already-evaluated combinations."""
+    space = _space((3, 3))
+    g = Gryffin(space, random_seed=2, bnn_train_steps=80, bnn_draws=40)
+    obs, seen = [], set()
+    for it in range(4):
+        recs = g.recommend(obs, sampling_strategies=[-1, 1])
+        for r in recs:
+            key = tuple(_decode(space, r))
+            assert key not in seen, key
+            seen.add(key)
+            obs.append(dict(r, obj=cat_dejong(list(key), (3, 3))))
