@@ -187,23 +187,81 @@ def _hot_normalize(img):
     return img
 
 
-def reshape_then_acc_sort(ev, H=IMAGE_H, W=IMAGE_W, use_image: bool = True):
-    """Sorted-time baseline, polarity branch with the default (non-strict)
-    path (:513-838): per-polarity scatter-max of time, hot-pixel min/max
-    normalized; optional binary images prepended."""
+def _strict_sort_image(sub, H, W):
+    """The 'strict' rank image (:560-593): keep the per-pixel LAST event,
+    rank the survivors by time (ties share a rank, +1 then min-max), place
+    ranks at their pixels."""
+    idx = sub[:, 0].astype(np.int64) + sub[:, 1].astype(np.int64) * W
+    last = {}
+    for i in range(len(sub)):  # last write wins == scatter_max over time
+        last[int(idx[i])] = i
+    keep = np.array(sorted(last.values()), int)
+    tmp = sub[keep]
+    order = np.argsort(tmp[:, 2], kind="stable")
+    tmp = tmp[order]
+    _, counts = np.unique(tmp[:, 2], return_counts=True)
+    ranks = np.repeat(np.arange(len(counts), dtype=float), counts) + 1.0
+    if ranks.size and ranks.max() != ranks.min():
+        ranks = (ranks - ranks.min()) / (ranks.max() - ranks.min())
+    else:
+        ranks = np.zeros_like(ranks)
+    img = np.zeros((H, W))
+    img[tmp[:, 1].astype(np.int64), tmp[:, 0].astype(np.int64)] = ranks
+    return img
+
+
+def _quantize(img, quantize_sort):
+    if quantize_sort is None:
+        return [img]
+    if isinstance(quantize_sort, int):
+        return [np.round(img * quantize_sort) / quantize_sort]
+    return [np.round(img * q) / q for q in quantize_sort]
+
+
+def reshape_then_acc_sort(ev, H=IMAGE_H, W=IMAGE_W, use_image: bool = True,
+                          neglect_polarity: bool = False, strict: bool = False,
+                          quantize_sort=None):
+    """Sorted-time baseline (:513-838) with the reference's kwargs:
+    ``neglect_polarity`` collapses the polarities into one sort image;
+    ``strict`` re-ranks the per-pixel last events into a rigorous order;
+    ``quantize_sort`` rounds the sort image to 1/q grids (int or list);
+    ``use_image`` prepends binary event images. The reference's
+    denoise_image/denoise_sort flags call ``density_filter_event_image``,
+    which is never defined anywhere in the reference (a latent NameError) —
+    they are intentionally not reproduced."""
+    if neglect_polarity:
+        sort_img = (
+            _strict_sort_image(ev, H, W)
+            if strict
+            else _hot_normalize(_scatter_max(ev[:, 2], ev, H, W))
+        )
+        chans = []
+        if use_image:
+            img = np.zeros((H, W))
+            img[ev[:, 1].astype(np.int64), ev[:, 0].astype(np.int64)] = 1.0
+            chans.append(img)
+        chans.extend(_quantize(sort_img, quantize_sort))
+        return np.stack(chans, -1).astype(np.float32)
+
     pos, neg = _split(ev)
     if len(pos) == 0:
         pos = np.zeros((1, 4)); pos[:, 3] = 1
     if len(neg) == 0:
         neg = np.zeros((1, 4)); neg[:, 3] = 1
-    pos_sort = _hot_normalize(_scatter_max(pos[:, 2], pos, H, W))
-    neg_sort = _hot_normalize(_scatter_max(neg[:, 2], neg, H, W))
-    chans = [pos_sort, neg_sort]
+    if strict:
+        pos_sort = _strict_sort_image(pos, H, W)
+        neg_sort = _strict_sort_image(neg, H, W)
+    else:
+        pos_sort = _hot_normalize(_scatter_max(pos[:, 2], pos, H, W))
+        neg_sort = _hot_normalize(_scatter_max(neg[:, 2], neg, H, W))
+    chans = []
     if use_image:
         pi = np.zeros((H, W)); ni = np.zeros((H, W))
         pi[pos[:, 1].astype(np.int64), pos[:, 0].astype(np.int64)] = 1.0
         ni[neg[:, 1].astype(np.int64), neg[:, 0].astype(np.int64)] = 1.0
-        chans = [pi, ni] + chans
+        chans.extend([pi, ni])
+    chans.extend(_quantize(pos_sort, quantize_sort))
+    chans.extend(_quantize(neg_sort, quantize_sort))
     return np.stack(chans, -1).astype(np.float32)
 
 

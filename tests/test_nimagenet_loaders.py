@@ -154,3 +154,38 @@ def test_classifier_host_images_freeze_plateau_ckpt(tmp_path):
     tr.state = tr.state._replace(step=tr.state.step * 0)
     start = tr.load(tmp_path / "clf_ck")
     assert start == 4 and int(tr.state.step) == step_before
+
+
+def test_acc_sort_kwargs_branches():
+    from event_representation_study_tpu.data.nimagenet_loaders import (
+        reshape_then_acc_sort,
+    )
+
+    ev = _ev(300, seed=3)
+    # default: [pos_img, neg_img, pos_sort, neg_sort]
+    assert reshape_then_acc_sort(ev).shape == (224, 224, 4)
+    # neglect_polarity without image: single sort channel
+    out = reshape_then_acc_sort(ev, use_image=False, neglect_polarity=True)
+    assert out.shape == (224, 224, 1)
+    # strict ranks are min-max normalized in [0, 1]
+    s = reshape_then_acc_sort(ev, use_image=False, neglect_polarity=True,
+                              strict=True)
+    assert 0 <= s.min() and s.max() <= 1.0
+    # quantize list expands channels; values land on the 1/q grid
+    q = reshape_then_acc_sort(ev, use_image=False, quantize_sort=[2, 4])
+    assert q.shape == (224, 224, 4)  # 2 quantizations x 2 polarities
+    vals = np.unique(np.round(q[..., 0] * 2) - q[..., 0] * 2)
+    np.testing.assert_allclose(vals, 0, atol=1e-6)
+
+
+def test_strict_sort_last_event_wins():
+    from event_representation_study_tpu.data.nimagenet_loaders import (
+        _strict_sort_image,
+    )
+
+    # two events at one pixel: the later one defines the pixel's rank
+    sub = np.array([[5, 5, 0.1, 1], [5, 5, 0.9, 1], [6, 6, 0.5, 1]], float)
+    img = _strict_sort_image(sub, 10, 10)
+    # pixel (5,5) has the latest time -> highest rank (1.0 after min-max)
+    assert img[5, 5] == pytest.approx(1.0)
+    assert img[6, 6] == pytest.approx(0.0)  # earliest surviving rank
