@@ -1,0 +1,51 @@
+"""Event-file conversion CLI — the equivalent of ev-licious's conversion
+scripts (ev-licious/scripts/conversion/*): read any supported event format
+(.h5/.npz/.npy/.dat/.bin) and write the canonical HDF5 layout
+(events/{x,y,t,p,height,width,divider}).
+
+    python -m event_representation_study_tpu.cli.convert \
+        recording.dat --output recording.h5 --height 240 --width 304
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+
+def main(args=None):
+    ap = argparse.ArgumentParser("event format conversion")
+    ap.add_argument("input", help=".h5/.npz/.npy/.dat/.bin event file")
+    ap.add_argument("--output", required=True, help="output .h5 path")
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=1_000_000,
+                    help="events per incremental write")
+    args = ap.parse_args(args)
+
+    import numpy as np
+
+    from ..events.h5_io import H5Writer, load_events_from_path
+
+    ev = load_events_from_path(args.input)
+    height = args.height
+    width = args.width
+    if pathlib.Path(args.input).suffix == ".dat" and (height is None or width is None):
+        from ..events.prophesee import EventDatReader
+
+        with EventDatReader(args.input) as r:
+            height = height or r.height
+            width = width or r.width
+    height = height or (int(ev["y"].max()) + 1 if len(ev) else 1)
+    width = width or (int(ev["x"].max()) + 1 if len(ev) else 1)
+
+    with H5Writer(args.output, height=height, width=width) as w:
+        for i in range(0, max(len(ev), 1), args.chunk):
+            chunk = ev[i : i + args.chunk]
+            if len(chunk):
+                w.add(chunk["x"], chunk["y"], chunk["t"], chunk["p"])
+    print(f"wrote {len(ev)} events -> {args.output} ({height}x{width})")
+    return args.output
+
+
+if __name__ == "__main__":
+    main()

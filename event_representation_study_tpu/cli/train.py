@@ -30,6 +30,9 @@ def get_args_parser():
                    help="evaluation only (train.py --testing)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint to evaluate / resume from")
+    p.add_argument("--resume", nargs="?", const="auto", default=None,
+                   help="resume training; with no value, auto-discovers the "
+                        "newest runs/train/*/last_ckpt (train.py:117-215)")
     p.add_argument("--augment", action="store_true",
                    help="enable the strong-augment recipe (mosaic/affine/"
                         "flips/mixup) from the config's data_aug hyp")
@@ -78,11 +81,29 @@ def main(args=None):
         stop_aug_last_n_epoch=args.stop_aug_last_n_epoch,
         plot_images=args.plot_images,
     )
-    if args.checkpoint:
+    ckpt = args.checkpoint
+    if args.resume is not None and ckpt is None:
+        ckpt = args.resume
+        if ckpt == "auto":
+            # newest last_ckpt under runs/train (the reference's resume
+            # auto-discovery, train.py:117-135 find_latest_checkpoint)
+            import pathlib
+
+            cands = sorted(
+                pathlib.Path("runs/train").glob("*/last_ckpt"),
+                key=lambda p: p.stat().st_mtime,
+            )
+            if not cands:
+                raise FileNotFoundError(
+                    "--resume: no runs/train/*/last_ckpt to resume from"
+                )
+            ckpt = str(cands[-1])
+            print(f"resuming from {ckpt}")
+    if ckpt:
         from ..train.checkpoint import restore_train_state
 
         trainer.state, trainer.start_epoch = restore_train_state(
-            args.checkpoint, trainer.state
+            ckpt, trainer.state
         )
 
     if args.testing:

@@ -158,3 +158,16 @@ def test_init_distributed_single_host():
 
     pid, pcount = init_distributed()
     assert pid == 0 and pcount == 1
+
+
+def test_convert_cli_round_trip(tmp_path):
+    from event_representation_study_tpu.cli.convert import main
+    from event_representation_study_tpu.events.h5_io import load_events_from_path
+    from event_representation_study_tpu.events.prophesee import write_dat
+
+    ev = _events(400, seed=9, h=64, w=80, dur=9000)
+    write_dat(tmp_path / "in.dat", ev, 64, 80)
+    out = main([str(tmp_path / "in.dat"), "--output", str(tmp_path / "out.h5")])
+    back = load_events_from_path(out)
+    for k in ("x", "y", "t", "p"):
+        np.testing.assert_array_equal(back[k], ev[k])

@@ -1,0 +1,54 @@
+"""Multi-epoch Trainer integration: strong aug on, stop-aug boundary crossed,
+checkpoint resume continuing the schedule — the full engine loop the paper
+recipe relies on (engine.py:138-318 semantics)."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def gen1_fixture(tmp_path_factory):
+    from event_representation_study_tpu.data.gen1 import write_gen1_fixture
+
+    root = tmp_path_factory.mktemp("gen1full")
+    for split in ("training.h5", "validation.h5"):
+        write_gen1_fixture(root / split, num_files=1, boxes_per_file=4,
+                           events_per_file=2000, seed=hash(split) % 99)
+    return root
+
+
+def test_multi_epoch_stopaug_and_resume(gen1_fixture, tmp_path):
+    from event_representation_study_tpu.train.checkpoint import restore_train_state
+    from event_representation_study_tpu.train.engine import Trainer
+    from event_representation_study_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125"],
+    )
+    out = tmp_path / "run"
+    tr = Trainer(cfg, gen1_fixture, batch_size=2, epochs=3, img_size=64,
+                 output_dir=out, eval_interval=1, num_events=512,
+                 augment=True, stop_aug_last_n_epoch=1, seed=1)
+    assert tr.accumulate == 32  # round(64/2)
+    assert tr.train_loader.hyp["mosaic"] == 1.0
+    tr.train()
+    # stop-aug boundary (epoch 2 == 3 - 1) zeroed mosaic/mixup, kept affine
+    assert tr.train_loader.hyp["mosaic"] == 0.0
+    assert tr.train_loader.hyp["mixup"] == 0.0
+    assert tr.train_loader.hyp["degrees"] == cfg["data_aug"]["degrees"]
+    assert (out / "last_ckpt").exists()
+    steps_run = int(tr.state.step)
+    assert steps_run == 3 * len(tr.train_loader)
+
+    # resume into a FRESH trainer: schedule position and weights carry over
+    tr2 = Trainer(cfg, gen1_fixture, batch_size=2, epochs=4, img_size=64,
+                  output_dir=tmp_path / "run2", eval_interval=10,
+                  num_events=512, augment=True, stop_aug_last_n_epoch=1,
+                  seed=1)
+    tr2.state, tr2.start_epoch = restore_train_state(out / "last_ckpt", tr2.state)
+    assert tr2.start_epoch == 3
+    assert int(tr2.state.step) == steps_run
+    tr2.train()  # one more epoch
+    assert int(tr2.state.step) == steps_run + len(tr2.train_loader)
+    stats = tr2.evaler.run(tr2.state.ema.variables)
+    assert np.isfinite(stats["AP"])
