@@ -33,17 +33,22 @@ class CSPBackboneP6(nn.Module):
     basic_mode: str = "conv_silu"
     csp_e: float = 0.5
     cspsppf: bool = False
+    # rematerialize the CSP stages (jax.checkpoint): recompute their
+    # activations in the backward pass instead of holding them in HBM —
+    # the stages carry most of the activation memory at 640^2
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ch = self.channels_list
         blk = get_basic_block(self.basic_mode)
+        stage_cls = nn.remat(BepC3, static_argnums=(2,)) if self.remat else BepC3
         x = blk(ch[0], 3, 2, dtype=self.dtype, name="stem")(x, train)
         outputs = []
         for i in range(1, 6):
             x = blk(ch[i], 3, 2, dtype=self.dtype, name=f"down_{i}")(x, train)
-            x = BepC3(
+            x = stage_cls(
                 ch[i], n=self.num_repeats[i], e=self.csp_e,
                 basic_mode=self.basic_mode, dtype=self.dtype, name=f"stage_{i}",
             )(x, train)

@@ -119,6 +119,8 @@ class Detector(nn.Module):
     # head variants (yolo.py:165-200): 'effidehead' | 'fuseab' | 'distill_ns'
     head_type: str = "effidehead"
     anchors_init: Optional[Sequence[Sequence[float]]] = None  # fuseab only
+    # rematerialize backbone CSP stages (memory/FLOPs trade for big configs)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -137,6 +139,7 @@ class Detector(nn.Module):
                 num_repeats=self.num_repeats[:6],
                 basic_mode=self.basic_mode,
                 csp_e=self.csp_e,
+                remat=self.remat,
                 dtype=self.dtype,
                 name="backbone",
             )
@@ -249,6 +252,7 @@ def build_model(
         use_dfl=hd.get("use_dfl", True),
         csp_e=bb.get("csp_e", 0.5),
         basic_mode=cfg.get("training_mode", "conv_silu"),
+        remat=bool(m.get("remat", False)),
         dtype=dtype,
         head_type=(
             "fuseab" if fuse_ab else "distill_ns" if distill_ns else "effidehead"

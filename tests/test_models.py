@@ -150,3 +150,36 @@ def test_bf16_train_step_finite(cfg):
     state, parts = step(state, batch, jnp.int32(0))
     assert np.isfinite(float(parts["loss"]))
     assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+
+
+def test_remat_equivalence(cfg):
+    """Rematerialized CSP stages produce identical outputs and gradients
+    (memory/FLOPs trade only)."""
+    import functools
+
+    from event_representation_study_tpu.utils.config import load_config
+
+    cfg_r = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125",
+                   "model.remat=True"],
+    )
+    m0 = build_model(cfg, num_classes=2)
+    m1 = build_model(cfg_r, num_classes=2)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 12)),
+                    jnp.float32)
+    v = jax.jit(functools.partial(m0.init, train=False))(jax.random.PRNGKey(0), x)
+    out0 = np.asarray(m0.apply(v, x, False))
+    out1 = np.asarray(m1.apply(v, x, False))
+    np.testing.assert_allclose(out0, out1, atol=1e-5)
+
+    def loss(model, params, bs):
+        (f, c, r), _ = model.apply({"params": params, "batch_stats": bs}, x,
+                                   True, mutable=["batch_stats"])
+        return jnp.sum(c) + sum(jnp.sum(jnp.abs(fi)) for fi in f)
+
+    vt = jax.jit(functools.partial(m0.init, train=True))(jax.random.PRNGKey(0), x)
+    g0 = jax.grad(lambda p: loss(m0, p, vt.get("batch_stats", {})))(vt["params"])
+    g1 = jax.grad(lambda p: loss(m1, p, vt.get("batch_stats", {})))(vt["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
