@@ -172,8 +172,14 @@ def write_gen1_fixture(
     height: int = 240,
     width: int = 304,
     seed: int = 0,
+    learnable: bool = False,
 ):
-    """Synthetic Gen1-layout HDF5 for tests."""
+    """Synthetic Gen1-layout HDF5 for tests.
+
+    ``learnable=True`` correlates events with the labels: a dense cluster of
+    events is relocated into each box in the window preceding its timestamp
+    (class 0 only), so a detector trained on the fixture has signal to learn
+    from — the stand-in for real-data training runs."""
     from ..events.fake import generate_fake_events
 
     rng = np.random.default_rng(seed)
@@ -184,6 +190,42 @@ def write_gen1_fixture(
                 events_per_file, height, width, duration_us=1_000_000,
                 seed=seed + i, structured=False,
             )
+            gb_data = {}
+            n = boxes_per_file
+            per = rng.integers(1, 4, n)
+            offsets = np.cumsum(per)
+            total = int(offsets[-1])
+            bw = rng.uniform(20, 80, total)
+            bh = rng.uniform(20, 60, total)
+            gb_data["t_unique"] = np.sort(
+                rng.integers(0, 1_000_000, n)
+            ).astype(np.int64)
+            gb_data["offsets"] = offsets.astype(np.int64)
+            cls = rng.integers(0, 2, total)
+            bx = rng.uniform(0, width - 80, total)
+            by = rng.uniform(0, height - 60, total)
+            event_idx = np.sort(
+                rng.integers(1000, events_per_file, n)
+            ).astype(np.int64)
+
+            if learnable:
+                cls[:] = 0
+                starts = np.concatenate([[0], offsets[:-1]])
+                for bi in range(n):
+                    lo, hi = int(starts[bi]), int(offsets[bi])
+                    e1 = int(event_idx[bi])
+                    e0 = max(0, e1 - 800 * (hi - lo))
+                    sel = np.arange(e0, e1)
+                    # relocate 70% of the window's events into the boxes
+                    sel = sel[rng.random(len(sel)) < 0.7]
+                    which = rng.integers(lo, hi, len(sel))
+                    x[sel] = (bx[which] + rng.random(len(sel)) * bw[which]).astype(
+                        x.dtype
+                    )
+                    y[sel] = (by[which] + rng.random(len(sel)) * bh[which]).astype(
+                        y.dtype
+                    )
+
             ge = g.create_group("events")
             ge["x"], ge["y"], ge["t"], ge["p"] = (
                 x.astype(np.uint16), y.astype(np.uint16), t.astype(np.int64),
@@ -191,20 +233,12 @@ def write_gen1_fixture(
             )
             ge["height"], ge["width"] = height, width
             gb = g.create_group("bbox")
-            n = boxes_per_file
-            per = rng.integers(1, 4, n)
-            offsets = np.cumsum(per)
-            total = int(offsets[-1])
-            bw = rng.uniform(20, 80, total)
-            bh = rng.uniform(20, 60, total)
-            gb["t_unique"] = np.sort(rng.integers(0, 1_000_000, n)).astype(np.int64)
-            gb["offsets"] = offsets.astype(np.int64)
-            gb["class_id"] = rng.integers(0, 2, total).astype(np.int64)
-            gb["x"] = rng.uniform(0, width - 80, total).astype(np.float32)
-            gb["y"] = rng.uniform(0, height - 60, total).astype(np.float32)
+            for k, v in gb_data.items():
+                gb[k] = v
+            gb["class_id"] = cls.astype(np.int64)
+            gb["x"] = bx.astype(np.float32)
+            gb["y"] = by.astype(np.float32)
             gb["w"] = bw.astype(np.float32)
             gb["h"] = bh.astype(np.float32)
-            gb["event_idx"] = np.sort(
-                rng.integers(1000, events_per_file, n)
-            ).astype(np.int64)
+            gb["event_idx"] = event_idx
     return path

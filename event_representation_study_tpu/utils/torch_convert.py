@@ -46,7 +46,14 @@ def _rewrite_name(key: str) -> str:
     k = re.sub(r"^module\.", "", k)
     k = re.sub(r"^backbone\.ERBlock_(\d+)\.0\.", lambda m: f"backbone.down_{int(m.group(1))-1}.", k)
     k = re.sub(r"^backbone\.ERBlock_(\d+)\.1\.", lambda m: f"backbone.stage_{int(m.group(1))-1}.", k)
-    k = re.sub(r"^backbone\.ERBlock_6\.2\.sppf\.", "backbone.sppf.", k)
+    k = re.sub(r"^backbone\.ERBlock_\d+\.2\.sppf\.", "backbone.sppf.", k)
+    # RepVGG branch conv/bn pairs: torch Sequential children -> flat names
+    k = k.replace(".rbr_dense.conv.", ".rbr_dense_conv.")
+    k = k.replace(".rbr_dense.bn.", ".rbr_dense_bn.")
+    k = k.replace(".rbr_1x1.conv.", ".rbr_1x1_conv.")
+    k = k.replace(".rbr_1x1.bn.", ".rbr_1x1_bn.")
+    # RepBlock's sequential tail (block.0, block.1, ...) -> block_{i}
+    k = re.sub(r"\.block\.(\d+)\.", lambda m: f".block_{m.group(1)}.", k)
     k = re.sub(r"^detect\.stems\.(\d+)\.", lambda m: f"head.stem_{m.group(1)}.", k)
     k = re.sub(r"^detect\.cls_convs\.(\d+)\.", lambda m: f"head.cls_conv_{m.group(1)}.", k)
     k = re.sub(r"^detect\.reg_convs\.(\d+)\.", lambda m: f"head.reg_conv_{m.group(1)}.", k)

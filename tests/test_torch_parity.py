@@ -200,3 +200,51 @@ def test_nms_coco_parity_on_converted_outputs(reference_model):
     coco.add_image(d, g)
     stats = coco.summarize()
     assert np.isfinite(stats["AP"])
+
+
+def test_efficientrep_repvgg_parity(reference_model):
+    """RepVGG-family conversion (rbr_dense/rbr_1x1/identity branches,
+    RepBlock tails, SimSPPF) — feature-level parity for the EfficientRep
+    backbone the non-paper configs use."""
+    del reference_model  # only to reuse the module's sys.path/stub setup
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolov6.models.efficientrep import EfficientRep as TorchEffRep
+
+    from event_representation_study_tpu.models.backbones import EfficientRep
+    from event_representation_study_tpu.utils.torch_convert import (
+        convert_state_dict,
+    )
+
+    ch = [16, 32, 64, 64, 128]
+    reps = [1, 2, 3, 2, 2]
+    torch.manual_seed(1)
+    tm = TorchEffRep(in_channels=12, channels_list=ch, num_repeats=reps,
+                     fuse_P2=True)
+    tm.eval().float()
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (1, 12, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        t_feats = [f.numpy() for f in tm(torch.from_numpy(x))]
+
+    state = {f"backbone.{k}": v.numpy() for k, v in tm.state_dict().items()}
+    params, batch_stats = convert_state_dict(state)
+    assert "__unmatched__" not in params, params.get("__unmatched__")
+
+    jm = EfficientRep(channels_list=ch, num_repeats=reps, fuse_P2=True)
+    ref_tree = jax.eval_shape(
+        functools.partial(jm.init, train=False),
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 12)),
+    )
+    j_feats = jm.apply(
+        {"params": params["backbone"], "batch_stats": batch_stats["backbone"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), False,
+    )
+    assert len(j_feats) == len(t_feats) == 4
+    for jf, tf in zip(j_feats, t_feats):
+        diff = np.abs(np.asarray(jf) - tf.transpose(0, 2, 3, 1)).max()
+        assert diff < 2e-4, diff

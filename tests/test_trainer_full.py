@@ -52,3 +52,39 @@ def test_multi_epoch_stopaug_and_resume(gen1_fixture, tmp_path):
     assert int(tr2.state.step) == steps_run + len(tr2.train_loader)
     stats = tr2.evaler.run(tr2.state.ema.variables)
     assert np.isfinite(stats["AP"])
+
+
+def test_detector_learns_on_correlated_fixture(tmp_path):
+    """Training proof without real data: on a fixture whose events cluster
+    inside the labeled boxes, the detector's train-split AP50 rises well
+    above the random-init level (the synthetic stand-in for the 0.506-mAP
+    run, which needs the real Gen1 HDF5s)."""
+    from event_representation_study_tpu.data.gen1 import write_gen1_fixture
+    from event_representation_study_tpu.train.engine import Trainer
+    from event_representation_study_tpu.utils.config import load_config
+
+    for split in ("training.h5", "validation.h5"):  # same data: overfit proof
+        write_gen1_fixture(tmp_path / split, num_files=1, boxes_per_file=12,
+                           events_per_file=40000, seed=21, learnable=True)
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125",
+                   "solver.lr0=0.08"],
+    )
+    cfg["data"]["representation"] = "EventHistogram"
+    tr = Trainer(cfg, tmp_path, batch_size=4, epochs=100, img_size=64,
+                 output_dir=tmp_path / "run", eval_interval=1000,
+                 eval_interval_first=-1, num_events=4096, seed=3,
+                 nominal_batch_size=4)
+    ap0 = tr.evaler.run(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
+    )["AP50"]
+    tr.train()
+    stats = tr.evaler.run(tr.state.ema.variables)
+    # EMA lags on short runs; check the raw weights too and take the best
+    stats_raw = tr.evaler.run(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
+    )
+    ap = max(stats["AP50"], stats_raw["AP50"])
+    assert ap0 < 0.05, f"random init should not detect (ap0={ap0})"
+    assert ap > 0.2, f"detector failed to learn: AP50 {ap0} -> {ap}"
