@@ -39,3 +39,29 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree with the leading axis sharded over data."""
     s = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+    """Double-buffered host->HBM staging: device_put the NEXT batch while the
+    current one computes (the flax prefetch_to_device pattern; replaces the
+    reference's pinned-memory DataLoader overlap). Yields whatever the
+    iterator yields, with every array leaf already placed batch-sharded on
+    the mesh; non-batch extras (e.g. index arrays) pass through untouched
+    when they are not jax-puttable."""
+    import collections
+
+    s = data_sharding(mesh)
+
+    def put(item):
+        if isinstance(item, tuple) and len(item) == 2:
+            batch, extra = item
+            return jax.tree.map(lambda x: jax.device_put(x, s), batch), extra
+        return jax.tree.map(lambda x: jax.device_put(x, s), item)
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(put(item))  # device_put is async: transfer starts now
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -207,12 +207,18 @@ class Trainer:
             LOGGER.info("epoch %d: strong aug (mosaic/mixup) stopped", epoch)
 
     def train(self):
+        from ..parallel.mesh import device_prefetch
+
         with self.mesh:
             for epoch in range(self.start_epoch, self.epochs):
                 self.prepare_for_epoch(epoch)
                 t0 = time.time()
                 losses = []
-                for batch, _ in self.train_loader:
+                # double-buffered host->HBM staging: the next batch transfers
+                # while the current step computes
+                for batch, _ in device_prefetch(
+                    iter(self.train_loader), self.mesh, size=2
+                ):
                     if (
                         self.plot_images
                         and not self._plotted_train_batch
