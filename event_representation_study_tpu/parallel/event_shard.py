@@ -1,0 +1,138 @@
+"""Event-axis (sequence-parallel) representation building.
+
+The (x, y, t, p) stream is this framework's "long sequence" (SURVEY §5):
+every representation is a commutative/associative reduction over per-pixel
+event subsets, so the event axis shards cleanly over the mesh — each device
+scatter-reduces ITS slice of the stream into a partial (H, W, C) accumulator
+and one ``psum`` (sums/counts) or ``pmax`` (max-aggregations) over the
+"event" mesh axis combines them across ICI. No ring-attention analog is
+needed: nothing mixes distant events except these reductions.
+
+Implemented with ``shard_map`` over a 2-D ("data", "event") mesh. The only
+cross-shard scalars are the stream's global metadata — the valid-event count,
+first/last timestamps — each one ``psum`` of a locally-masked contribution.
+
+The blocks must be padded so capacity % event_shards == 0; padding sits at
+the global tail, so a shard's local validity is
+``global_position < num`` with ``global_position = offset + local_index``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..events.core import EventBlock
+from ..ops import scatter
+
+
+def event_sharding(mesh: Mesh) -> NamedSharding:
+    """EventBlock (B, N) leaves: batch over "data", events over "event"."""
+    return NamedSharding(mesh, P("data", "event"))
+
+
+def place_event_sharded(blocks: EventBlock, mesh: Mesh) -> EventBlock:
+    """device_put an EventBlock with (B, N) leaves event-sharded and the
+    rank-1 ``num`` leaf sharded on "data" only."""
+    s2 = NamedSharding(mesh, P("data", "event"))
+    s1 = NamedSharding(mesh, P("data"))
+    return jax.tree.map(
+        lambda l: jax.device_put(l, s2 if l.ndim == 2 else s1), blocks
+    )
+
+
+def _global_meta(x_local, t_local, num, axis: str):
+    """(global positions, t_first, t_last) for one sample's local slice."""
+    idx = jax.lax.axis_index(axis)
+    n_local = t_local.shape[-1]
+    offset = idx * n_local
+    pos = offset + jnp.arange(n_local, dtype=jnp.int32)
+    valid = pos < num
+    # t_first lives at global position 0 (shard 0), t_last at num - 1
+    t_first = jax.lax.psum(
+        jnp.where(idx == 0, t_local[0], 0.0), axis
+    )
+    has_last = (num - 1 >= offset) & (num - 1 < offset + n_local)
+    t_last = jax.lax.psum(
+        jnp.where(has_last, t_local[jnp.clip(num - 1 - offset, 0, n_local - 1)], 0.0),
+        axis,
+    )
+    return pos, valid, t_first, t_last
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "mesh"))
+def sharded_histogram(blocks: EventBlock, height: int, width: int,
+                      mesh: Mesh) -> jnp.ndarray:
+    """Event-sharded ToImage: partial per-shard counts + one psum over ICI.
+    Returns the full (B, H, W, 2), replicated along "event"."""
+
+    def shard_fn(x, y, p, num):
+        # leaves: (B_local, N_local); num: (B_local,)
+        n_local = x.shape[-1]
+        idx = jax.lax.axis_index("event")
+        pos = idx * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        valid = pos[None, :] < num[:, None]
+        seg = y.astype(jnp.int32) * width + x.astype(jnp.int32)
+        n = height * width
+
+        def one(seg_i, p_i, valid_i):
+            neg = valid_i & (p_i <= 0)
+            pos_m = valid_i & (p_i > 0)
+            c_neg = scatter.segment_count(seg_i, neg, n)
+            c_pos = scatter.segment_count(seg_i, pos_m, n)
+            return jnp.stack([c_neg, c_pos], -1)
+
+        partial = jax.vmap(one)(seg, p, valid)  # (B_local, HW, 2)
+        total = jax.lax.psum(partial, "event")
+        return total.reshape(total.shape[0], height, width, 2)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", "event"), P("data", "event"), P("data", "event"),
+                  P("data")),
+        out_specs=P("data"),
+    )(blocks.x, blocks.y, blocks.p, blocks.num.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "n_time_bins", "mesh"))
+def sharded_voxel_grid(blocks: EventBlock, height: int, width: int,
+                       mesh: Mesh, n_time_bins: int = 12) -> jnp.ndarray:
+    """Event-sharded bilinear voxel grid: global (t_first, t_last) via psum,
+    per-shard bilinear scatter, psum-combined. (B, H, W, n_time_bins)."""
+
+    def shard_fn(x, y, t, p, num):
+        t = t.astype(jnp.float32)
+
+        def one(x_i, y_i, t_i, p_i, num_i):
+            pos, valid, t_first, t_last = _global_meta(x_i, t_i, num_i, "event")
+            span = jnp.maximum(t_last - t_first, 1e-9)
+            ts = n_time_bins * (t_i - t_first) / span
+            ti = jnp.floor(ts).astype(jnp.int32)
+            dt = ts - ti.astype(jnp.float32)
+            pol = jnp.where(p_i > 0, 1.0, -1.0)
+            pix = y_i.astype(jnp.int32) * width + x_i.astype(jnp.int32)
+            hw = height * width
+            nseg = n_time_bins * hw
+            left_ok = valid & (ti < n_time_bins) & (ti >= 0)
+            right_ok = valid & (ti + 1 < n_time_bins) & (ti >= 0)
+            grid = scatter.segment_sum(pol * (1.0 - dt), ti * hw + pix,
+                                       left_ok, nseg)
+            grid = grid + scatter.segment_sum(pol * dt, (ti + 1) * hw + pix,
+                                              right_ok, nseg)
+            return grid
+
+        partial = jax.vmap(one)(x, y, t, p, num)  # (B_local, nseg)
+        total = jax.lax.psum(partial, "event")
+        B_local = total.shape[0]
+        return total.reshape(B_local, n_time_bins, height, width).transpose(
+            0, 2, 3, 1
+        )
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", "event"),) * 4 + (P("data"),),
+        out_specs=P("data"),
+    )(blocks.x, blocks.y, blocks.t, blocks.p, blocks.num.astype(jnp.int32))

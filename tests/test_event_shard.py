@@ -1,0 +1,62 @@
+"""Event-axis (sequence-parallel) representation building on a 2x4
+(data x event) mesh: sharded partial scatters + psum equal the single-device
+kernels (SURVEY §5 long-sequence design)."""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+
+def _mesh():
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devs, ("data", "event"))
+
+
+def _batch(B=2, cap=2048, n=1500, H=64, W=80):
+    from event_representation_study_tpu.events import (
+        from_structured,
+        generate_fake_events,
+        stack_blocks,
+    )
+
+    evs = [generate_fake_events(n, height=H, width=W, duration_us=100_000,
+                                seed=i) for i in range(B)]
+    return evs, stack_blocks([from_structured(e, cap) for e in evs])
+
+
+def test_sharded_histogram_matches_single_device():
+    from event_representation_study_tpu.parallel.event_shard import (
+        place_event_sharded,
+        sharded_histogram,
+    )
+    from event_representation_study_tpu.reps.histogram import event_histogram
+
+    H, W = 64, 80
+    evs, blocks = _batch(H=H, W=W)
+    mesh = _mesh()
+    placed = place_event_sharded(blocks, mesh)
+    got = np.asarray(sharded_histogram(placed, H, W, mesh))
+    want = np.stack([
+        np.asarray(event_histogram(jax.tree.map(lambda l: l[i], blocks), H, W))
+        for i in range(2)
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_voxel_grid_matches_single_device():
+    from event_representation_study_tpu.parallel.event_shard import (
+        place_event_sharded,
+        sharded_voxel_grid,
+    )
+    from event_representation_study_tpu.reps.voxel_grid import voxel_grid
+
+    H, W = 64, 80
+    evs, blocks = _batch(H=H, W=W)
+    mesh = _mesh()
+    placed = place_event_sharded(blocks, mesh)
+    got = np.asarray(sharded_voxel_grid(placed, H, W, mesh))
+    want = np.stack([
+        np.asarray(voxel_grid(jax.tree.map(lambda l: l[i], blocks), H, W))
+        for i in range(2)
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-3)
