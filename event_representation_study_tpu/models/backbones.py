@@ -185,15 +185,21 @@ class ResNet50Backbone(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     cbam: bool = False
     drop_prob: float = 0.0
+    # the reference freezes every BatchNorm at construction
+    # (resnet50.py:383/:410-415 freeze_bn): running stats are always used
+    freeze_bn: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from .layers import adaptive_avg_pool_chw, drop_block_2d
 
+        # DropBlock follows ``train``; BatchNorm follows ``bn_train`` (frozen
+        # like the reference unless freeze_bn=False)
+        bn_train = train and not self.freeze_bn
         x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -204,10 +210,10 @@ class ResNet50Backbone(nn.Module):
             stride = 1 if s == 0 else 2
             use_cbam = self.cbam and s >= 1  # reference: layers 2-4 only
             x = ResNetBottleneck(p, stride, use_cbam, dtype=self.dtype,
-                                 name=f"layer{s + 1}_0")(x, train)
+                                 name=f"layer{s + 1}_0")(x, bn_train)
             for i in range(1, n):
                 x = ResNetBottleneck(p, 1, use_cbam, dtype=self.dtype,
-                                     name=f"layer{s + 1}_{i}")(x, train)
+                                     name=f"layer{s + 1}_{i}")(x, bn_train)
             if train and self.drop_prob > 0 and s < 2:
                 rng = self.make_rng("dropout")
                 x = drop_block_2d(rng, x, self.drop_prob, block_size=5)
