@@ -97,13 +97,6 @@ class EventBatchLoader:
         from ..ops.image import letterbox_labels
 
         if self.hyp is not None:
-            from ..ops.warp import AugPlan
-            from .augment import plan_augment_batch
-
-            num = np.array([s.num_events for s in samples], np.int32)
-            blocks = EventBlock(
-                x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
-            )
             abs_labels = [
                 letterbox_labels(
                     s.labels[: s.num_labels], self.ds.height, self.ds.width,
@@ -111,6 +104,55 @@ class EventBatchLoader:
                 )
                 for s in samples
             ]
+            strong = (
+                self.hyp.get("mosaic", 0.0) > 0 or self.hyp.get("mixup", 0.0) > 0
+            )
+            if not strong:
+                # EVENT-SPACE affine+flips — the reference's actual Gen1
+                # recipe (gen1_2yolo.py:365-390 has no mosaic) executed on
+                # the event coordinates: free, vs the image warp's
+                # serialized TPU gathers (ops/warp.py docstring)
+                from .augment import apply_event_affine, plan_event_affine
+
+                cap = samples[0].labels.shape[0]
+                maps, labels, nl = plan_event_affine(
+                    abs_labels, self.img_size, self.hyp, self._aug_rng, cap
+                )
+                num = np.zeros(len(samples), np.int32)
+                for bi, s in enumerate(samples):
+                    n = s.num_events
+                    xs, ys, keep = apply_event_affine(
+                        ev[bi, 0], ev[bi, 1], n, maps[bi],
+                        self.ds.height, self.ds.width, self.img_size,
+                    )
+                    m = len(xs)
+                    t_k = ev[bi, 2, :n][keep]
+                    p_k = ev[bi, 3, :n][keep]
+                    ev[bi, :, :] = 0
+                    ev[bi, 0, :m] = xs
+                    ev[bi, 1, :m] = ys
+                    ev[bi, 2, :m] = t_k
+                    ev[bi, 3, :m] = p_k
+                    num[bi] = m
+                blocks = EventBlock(
+                    x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
+                )
+                mask = np.arange(cap)[None, :] < nl[:, None]
+                return Batch(
+                    images=None,
+                    events=blocks,
+                    gt_labels=labels[..., 0].astype(np.int32),
+                    gt_bboxes=labels[..., 1:5].astype(np.float32),
+                    gt_mask=mask.astype(np.float32),
+                ), np.array([s.index for s in samples])
+
+            from ..ops.warp import AugPlan
+            from .augment import plan_augment_batch
+
+            num = np.array([s.num_events for s in samples], np.int32)
+            blocks = EventBlock(
+                x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
+            )
             cap = samples[0].labels.shape[0]
             cap *= 4 if self.hyp.get("mosaic", 0.0) > 0 else 1
             cap *= 2 if self.hyp.get("mixup", 0.0) > 0 else 1

@@ -203,3 +203,56 @@ def test_stop_aug_semantics(gen1_fixture):
     assert tr.train_loader.hyp["mosaic"] == 0.0
     assert tr.train_loader.hyp["mixup"] == 0.0
     assert tr.train_loader.hyp["degrees"] == cfg["data_aug"]["degrees"]
+
+
+def test_event_space_affine_path(gen1_fixture):
+    """With mosaic/mixup off (the reference's actual Gen1 recipe), the
+    strong-aug loader runs in EVENT space: no AugPlan ships, events move
+    through the affine point map, labels get the identical s-frame math."""
+    from event_representation_study_tpu.data.gen1 import Gen1H5
+    from event_representation_study_tpu.data.loader import EventBatchLoader
+
+    ds = Gen1H5(gen1_fixture, task="train", num_events=1024, max_boxes=8)
+    S = 64
+    # identity affine + forced lr-flip: events mirror (within the letterbox
+    # round trip's 1px), labels mirror exactly
+    hyp = dict(mosaic=0.0, mixup=0.0, degrees=0.0, translate=0.0, scale=0.0,
+               shear=0.0, fliplr=1.0, flipud=0.0)
+    ld = EventBatchLoader(ds, batch_size=2, img_size=S, shuffle=False, hyp=hyp)
+    batch, idx = next(iter(ld))
+    assert batch.aug is None
+    s0 = ds[int(idx[0])]
+    n = s0.num_events
+    m = int(batch.events.num[0])
+    # only sub-pixel letterbox-boundary events may drop (x at the far edge
+    # mirrors fractionally outside the 64-px frame)
+    assert m >= 0.98 * n
+    # the flip mirrors about the LETTERBOX frame's axis (like the reference's
+    # np.fliplr on the 64-px image): x' = (S-1)/r - x in sensor coords
+    from event_representation_study_tpu.ops.image import letterbox_geometry
+
+    r, _, (dw, _) = letterbox_geometry(ds.height, ds.width, S)
+    axis = (S - 1 - 2 * dw) / r
+    got_x = np.sort(np.asarray(batch.events.x[0][:m]))
+    mirrored = axis - s0.events[0, :n]
+    want_x = np.sort(mirrored[(mirrored >= 0) & (mirrored <= ds.width - 1)])
+    assert abs(float(got_x.mean()) - float(want_x.mean())) <= 1.0
+
+    # labels mirrored in the letterboxed frame
+    from event_representation_study_tpu.ops.image import letterbox_labels
+
+    base = letterbox_labels(s0.labels[: s0.num_labels], ds.height, ds.width, S)
+    got = np.asarray(batch.gt_bboxes[0][: s0.num_labels])
+    np.testing.assert_allclose(got[:, 0], S - base[:, 3], atol=1e-4)
+    np.testing.assert_allclose(got[:, 2], S - base[:, 1], atol=1e-4)
+
+    # a real affine drops out-of-frame events but keeps most, and every
+    # surviving coordinate stays in the sensor frame
+    hyp2 = dict(mosaic=0.0, mixup=0.0, degrees=5.0, translate=0.1, scale=0.2,
+                shear=2.0, fliplr=0.5, flipud=0.0)
+    ld2 = EventBatchLoader(ds, batch_size=2, img_size=S, shuffle=False, hyp=hyp2)
+    b2, _ = next(iter(ld2))
+    m = int(b2.events.num[0])
+    assert 0 < m <= 1024
+    assert int(b2.events.x[0][:m].max()) < ds.width
+    assert int(b2.events.y[0][:m].max()) < ds.height
