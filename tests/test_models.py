@@ -183,3 +183,28 @@ def test_remat_equivalence(cfg):
     g1 = jax.grad(lambda p: loss(m1, p, vt.get("batch_stats", {})))(vt["params"])
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_detect_backend(cfg, small_model, tmp_path):
+    """DetectBackend loads a deploy checkpoint and serves decoded + NMS'd
+    detections (common.py:840-858 role)."""
+    import orbax.checkpoint as ocp
+
+    from event_representation_study_tpu.models.backend import DetectBackend
+
+    model, variables = small_model
+    ocp.PyTreeCheckpointer().save(
+        (tmp_path / "deploy").absolute(),
+        {"variables": jax.tree.map(np.asarray, variables)}, force=True,
+    )
+    be = DetectBackend(
+        tmp_path / "deploy",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125"],
+    )
+    x = np.random.default_rng(0).uniform(0, 1, (2, 128, 128, 12)).astype(np.float32)
+    preds = np.asarray(be(x))
+    want = np.asarray(model.apply(variables, jnp.asarray(x), False))
+    np.testing.assert_allclose(preds, want, atol=1e-5)
+    dets, counts = be.detect(x, conf_thres=0.001)
+    assert dets.shape[0] == 2 and dets.shape[2] == 6
+    assert (counts >= 0).all()
