@@ -28,6 +28,9 @@ def get_args_parser():
     p.add_argument("--iou-thres", type=float, default=0.65)
     p.add_argument("--do-pr-metric", action="store_true",
                    help="per-class PR/F1 + confusion matrix")
+    p.add_argument("--save-predictions", type=str, default=None,
+                   help="write COCO-format predictions JSON "
+                        "(evaler.py:545-568 interop)")
     p.add_argument("--override", nargs="*", default=[])
     return p
 
@@ -80,7 +83,8 @@ def main(args=None):
     evaler = Evaler(model, loader, nc, rep, img_size=args.img_size,
                     conf_thres=args.conf_thres, iou_thres=args.iou_thres)
     stats = evaler.run(variables, do_pr_metric=args.do_pr_metric,
-                       speed_only=args.task == "speed")
+                       speed_only=args.task == "speed",
+                       predictions_json=args.save_predictions)
     for k, v in stats.items():
         if k != "confusion_matrix":
             print(f"{k}: {v}")

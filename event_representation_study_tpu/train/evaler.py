@@ -64,7 +64,8 @@ class Evaler:
         )
 
     def run(self, variables, do_pr_metric: bool = False,
-            speed_only: bool = False, plot_dir=None) -> Dict[str, float]:
+            speed_only: bool = False, plot_dir=None,
+            predictions_json=None) -> Dict[str, float]:
         """COCO evaluation with the reference's 4-slot speed accounting
         (n / pre / infer+NMS / post, evaler.py:138-177): pre = host->device
         batch staging, infer = fused rep+forward+NMS on device (the
@@ -85,6 +86,9 @@ class Evaler:
             pr = PRMetric(self.num_classes)
         speed = {"n": 0, "pre_ms": 0.0, "infer_ms": 0.0, "post_ms": 0.0}
         plotted = plot_dir is None
+        # COCO-format prediction records (evaler.py:545-568
+        # convert_to_coco_format): interop with pycocotools elsewhere
+        coco_records = [] if predictions_json else None
         for batch, indices in self.loader:
             t_pre = time.perf_counter()
             batch = jax.device_put(batch)
@@ -127,12 +131,30 @@ class Evaler:
                     coco.add_image(d, gts)
                     if pr is not None:
                         pr.add_image(d, gts)
+                    if coco_records is not None:
+                        img_id = int(indices[i])
+                        for x1, y1, x2, y2, score, cls in d:
+                            coco_records.append({
+                                "image_id": img_id,
+                                "category_id": int(cls),
+                                "bbox": [round(float(x1), 3), round(float(y1), 3),
+                                         round(float(x2 - x1), 3),
+                                         round(float(y2 - y1), 3)],
+                                "score": round(float(score), 5),
+                            })
             t2 = time.perf_counter()
             speed["n"] += nb
             speed["pre_ms"] += (t0 - t_pre) * 1e3
             speed["infer_ms"] += (t1 - t0) * 1e3
             speed["post_ms"] += (t2 - t1) * 1e3
         stats = {} if speed_only else coco.summarize()
+        if coco_records is not None:
+            import json
+            import pathlib
+
+            p = pathlib.Path(predictions_json)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(json.dumps(coco_records))
         if pr is not None:
             stats.update(pr.summarize())
         if speed["n"]:

@@ -126,3 +126,23 @@ def test_observability_writers(tmp_path):
     assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 10
     assert "skip" not in lines[0]
     assert lines[1]["step"] == 20
+
+
+def test_eval_cli_saves_coco_predictions(gen1_fixture, tmp_path):
+    from event_representation_study_tpu.cli.eval import main
+
+    out = tmp_path / "preds.json"
+    main([
+        "--conf", "configs/gen1_optimized.py",
+        "--data-path", str(gen1_fixture),
+        "--batch-size", "2", "--img-size", "64", "--num-events", "512",
+        "--override", "model.depth_multiple=0.2", "model.width_multiple=0.125",
+        "--conf-thres", "0.001",
+        "--save-predictions", str(out),
+    ])
+    recs = json.loads(out.read_text())
+    assert isinstance(recs, list)
+    if recs:  # random init may or may not clear even 0.001 conf
+        r = recs[0]
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert len(r["bbox"]) == 4 and r["bbox"][2] >= 0
