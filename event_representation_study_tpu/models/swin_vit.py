@@ -129,18 +129,23 @@ class SwinBlockV2(nn.Module):
         ws = min(self.window_size, H, W)
         shift = self.shift if ws < min(H, W) else 0
         y = x.reshape(B, H, W, C)
+        # pad to window multiples (standard Swin padding; cropped after)
+        Hp = ((H + ws - 1) // ws) * ws
+        Wp = ((W + ws - 1) // ws) * ws
+        if (Hp, Wp) != (H, W):
+            y = jnp.pad(y, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_mask(H, W, ws, shift))
+            mask = jnp.asarray(_shift_mask(Hp, Wp, ws, shift))
         else:
             mask = None
         win = window_partition(y, ws)
         win = WindowAttentionV2(self.dim, self.num_heads, ws,
                                 dtype=self.dtype, name="attn")(win, mask)
-        y = window_reverse(win, ws, H, W)
+        y = window_reverse(win, ws, Hp, Wp)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        y = y.reshape(B, L, C)
+        y = y[:, :H, :W].reshape(B, L, C)
         # post-norm residual (Swin-V2)
         x = x + nn.LayerNorm(dtype=self.dtype, name="norm1")(y)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(x)
@@ -158,9 +163,12 @@ class PatchMerging(nn.Module):
     def __call__(self, x, H: int, W: int):
         B, L, C = x.shape
         y = x.reshape(B, H, W, C)
+        if H % 2 or W % 2:  # pad odd dims (Swin PatchMerging convention)
+            y = jnp.pad(y, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
         parts = [y[:, 0::2, 0::2], y[:, 1::2, 0::2], y[:, 0::2, 1::2],
                  y[:, 1::2, 1::2]]
-        y = jnp.concatenate(parts, axis=-1).reshape(B, (H // 2) * (W // 2), 4 * C)
+        Hn, Wn = (H + 1) // 2, (W + 1) // 2
+        y = jnp.concatenate(parts, axis=-1).reshape(B, Hn * Wn, 4 * C)
         y = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(y)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(y)
 
@@ -199,7 +207,7 @@ class SwinTransformerV2ViT(nn.Module):
                 )(x, H, W)
             if s < len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{s}")(x, H, W)
-                H, W = H // 2, W // 2
+                H, W = (H + 1) // 2, (W + 1) // 2
                 dim *= 2
                 outs.append((x, H, W))
             else:
