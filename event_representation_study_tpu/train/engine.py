@@ -209,6 +209,8 @@ class Trainer:
     def train(self):
         from ..parallel.mesh import device_prefetch
 
+        # one sync at entry (resume-aware), then host-side counting only
+        self._host_step = int(self.state.step)
         with self.mesh:
             for epoch in range(self.start_epoch, self.epochs):
                 self.prepare_for_epoch(epoch)
@@ -239,10 +241,13 @@ class Trainer:
                         self.state, batch, jnp.int32(epoch)
                     )
                     losses.append(parts)
-                    step = int(self.state.step)
-                    if step % self.log_interval == 0:
+                    # host-side step counter: reading state.step would force
+                    # a device sync every batch and serialize dispatch
+                    self._host_step = getattr(self, "_host_step", 0) + 1
+                    if self._host_step % self.log_interval == 0:
                         self.writer.log(
-                            {k: float(v) for k, v in parts.items()}, step
+                            {k: float(v) for k, v in parts.items()},
+                            self._host_step,
                         )
                 if losses:
                     last = {k: float(v) for k, v in losses[-1].items()}
