@@ -35,7 +35,13 @@ def load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and not _build():
+    src = _DIR / "kernel_evaluator.c"
+    stale = (
+        _LIB_PATH.exists()
+        and src.exists()
+        and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if (not _LIB_PATH.exists() or stale) and not _build():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     dp = ctypes.POINTER(ctypes.c_double)
@@ -84,3 +90,29 @@ def kernel_contrib_categorical(
         probs.ctypes.data_as(dp),
     )
     return num, inv_den, probs
+
+
+def reshape_cat_probs_native(
+    raw_probs: np.ndarray,  # (draws, obs, options) f64 — one categorical dim
+    descriptors: np.ndarray,  # (options, desc_dim) f64
+    sigma: float = 1.0,
+) -> np.ndarray:
+    """Descriptor-space kernel reshaping, the C/OpenMP twin of
+    kernels.reshape_probs_one_dim (and of the reference's Cython
+    kernel_prob_reshaping, with the corrected per-descriptor average)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native kernel evaluator unavailable (no C compiler)")
+    raw_probs = np.ascontiguousarray(raw_probs, np.float64)
+    descriptors = np.ascontiguousarray(descriptors, np.float64)
+    draws, obs, options = raw_probs.shape
+    desc_dim = descriptors.shape[1]
+    assert desc_dim <= 64, "C twin supports up to 64 descriptor dims"
+    out = np.zeros_like(raw_probs)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.reshape_cat_probs(
+        raw_probs.ctypes.data_as(dp), descriptors.ctypes.data_as(dp),
+        draws, obs, options, desc_dim, ctypes.c_double(sigma),
+        out.ctypes.data_as(dp),
+    )
+    return out

@@ -86,9 +86,14 @@ void reshape_cat_probs(
             for (long k = 0; k < options; ++k) {
                 double dist = 0.0;
                 for (long j = 0; j < desc_dim && j < 64; ++j) {
-                    double diff = descriptors[k * desc_dim + j] - mean[j];
+                    /* kernel_prob_reshaping.pyx:55-60: dyi = K*(desc - avg),
+                       dist = sqrt(mean(dyi^2)) */
+                    double diff =
+                        (double)options *
+                        (descriptors[k * desc_dim + j] - mean[j]);
                     dist += diff * diff;
                 }
+                dist = sqrt(dist / (double)(desc_dim < 64 ? desc_dim : 64));
                 op[k] = -dist / sigma;
                 if (op[k] > maxv) maxv = op[k];
             }

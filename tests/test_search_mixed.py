@@ -119,3 +119,20 @@ def test_bo_cli_roundtrip(tmp_path):
     for r in back:
         assert r["a"] in ("x", "y", "z")
         assert 0.001 <= r["lr"] <= 0.1
+
+
+def test_native_reshape_matches_xla():
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.search import native
+    from event_representation_study_tpu.search.kernels import reshape_probs_one_dim
+
+    if native.load() is None:
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(7)
+    probs = rng.random((5, 3, 6))
+    probs /= probs.sum(-1, keepdims=True)
+    D = rng.random((6, 3))
+    got = native.reshape_cat_probs_native(probs, D)
+    want = np.asarray(reshape_probs_one_dim(jnp.asarray(probs), jnp.asarray(D)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
