@@ -20,6 +20,11 @@ def main(args=None):
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=1_000_000,
                     help="events per incremental write")
+    ap.add_argument("--filter", action="append", default=[],
+                    choices=["hot_pixel", "background_activity", "refractory"],
+                    help="apply stream filters in order (ev-licious "
+                         "scripts/processing role; events/filters.py)")
+    ap.add_argument("--filter-depth-us", type=int, default=10000)
     args = ap.parse_args(args)
 
     import numpy as np
@@ -37,6 +42,18 @@ def main(args=None):
             width = width or r.width
     height = height or (int(ev["y"].max()) + 1 if len(ev) else 1)
     width = width or (int(ev["x"].max()) + 1 if len(ev) else 1)
+
+    for name in args.filter:
+        from ..events import filters as F
+
+        if name == "hot_pixel":
+            ev = F.hot_pixel_filter(ev, height, width)
+        elif name == "background_activity":
+            ev = F.background_activity_filter(ev, height, width,
+                                              depth_us=args.filter_depth_us)
+        else:
+            ev = F.refractory_period_filter(ev, height, width,
+                                            depth_us=args.filter_depth_us)
 
     with H5Writer(args.output, height=height, width=width) as w:
         for i in range(0, max(len(ev), 1), args.chunk):
