@@ -39,6 +39,10 @@ def get_args_parser():
     p.add_argument("--stop-aug-last-n-epoch", type=int, default=15,
                    help="zero mosaic/mixup for the last N epochs "
                         "(engine.py:475-480)")
+    p.add_argument("--partner-pool", type=int, default=0,
+                   help="with --augment: extra dataset-wide samples per batch "
+                        "as mosaic/mixup partners (the reference's random-"
+                        "dataset-index draws); 0 = in-batch partners")
     p.add_argument("--plot-images", action="store_true",
                    help="write train-batch/val-pred mosaics (engine.py:719-913)")
     p.add_argument("--seed", type=int, default=0)
@@ -80,6 +84,7 @@ def main(args=None):
         augment=args.augment,
         stop_aug_last_n_epoch=args.stop_aug_last_n_epoch,
         plot_images=args.plot_images,
+        partner_pool=args.partner_pool,
     )
     ckpt = args.checkpoint
     if args.resume is not None and ckpt is None:

@@ -253,6 +253,7 @@ def plan_augment_batch(
     hyp: dict,
     rng: np.random.Generator,
     label_cap: int,
+    n_out: Optional[int] = None,
 ):
     """Plan the full strong-augment pipeline for one batch: mosaic routing,
     random_affine matrices, flips and mixup — label math here on host, pixel
@@ -260,13 +261,23 @@ def plan_augment_batch(
 
     Mirrors the reference composition order (datasets.py __getitem__ /
     gen1_2yolo.py:365-390): [mosaic?] -> random_affine -> flips -> [mixup?].
-    Mosaic/mixup partners are drawn from the current batch (the reference
-    draws from the whole dataset — equivalent under a shuffled sampler).
+
+    ``labels_list`` may be LONGER than the emitted batch: pass ``n_out`` to
+    plan P = len(labels_list) rows but emit labels only for the first
+    ``n_out``. The extra rows are a dataset-wide partner pool (the
+    reference's mosaic/mixup partners are random dataset indices,
+    datasets.py get_mosaic/__getitem__; YOLOv6's mixup partner is itself a
+    full fresh mosaic, which is why every pool row gets its own complete
+    mosaic+affine+flip plan here). With ``n_out=None`` partners come from
+    the batch itself — equivalent in distribution under a shuffled sampler
+    but with within-batch label correlation; the pool removes that.
 
     Returns (plan_arrays: dict of numpy arrays matching AugPlan fields,
-    labels (B, label_cap, 5) abs xyxy, nl (B,) int32).
+    P rows each, labels (n_out, label_cap, 5) abs xyxy, nl (n_out,) int32).
     """
     B = len(labels_list)
+    if n_out is None:
+        n_out = B
     s = img_size
     py_rng = random.Random(int(rng.integers(2**31)))
     src_idx = np.tile(np.arange(B, dtype=np.int32)[:, None], (1, 4))
@@ -323,9 +334,10 @@ def plan_augment_batch(
         out_labels.append(lab)
 
     # mixup blends two composed outputs (data_augment.py:87-93 beta(32,32));
-    # labels of the partner are appended
-    mixed_labels = [l.copy() for l in out_labels]
-    for i in range(B):
+    # labels of the partner are appended. Only emitted rows mix; partners
+    # may be any composed pool row.
+    mixed_labels = [out_labels[i].copy() for i in range(n_out)]
+    for i in range(n_out):
         if B >= 2 and rng.random() < hyp.get("mixup", 0.0):
             j = int(rng.integers(B))
             mix_idx[i] = j
@@ -335,8 +347,8 @@ def plan_augment_batch(
                     [mixed_labels[i], out_labels[j]], 0
                 )
 
-    labels = np.zeros((B, label_cap, 5), np.float32)
-    nl = np.zeros((B,), np.int32)
+    labels = np.zeros((n_out, label_cap, 5), np.float32)
+    nl = np.zeros((n_out,), np.int32)
     for i, lab in enumerate(mixed_labels):
         n = min(len(lab), label_cap)
         labels[i, :n] = lab[:n]

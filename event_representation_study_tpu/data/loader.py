@@ -36,6 +36,7 @@ class EventBatchLoader:
         fliplr: float = 0.0,
         hyp: Optional[dict] = None,
         index_sampler=None,
+        partner_pool: int = 0,
     ):
         """``flipud``/``fliplr`` enable the reference's geometric flip
         augmentation (gen1_2yolo.py:210-228) applied jointly to the event
@@ -51,13 +52,22 @@ class EventBatchLoader:
         train step executes on device. With ``hyp`` set, flips fold into the
         plan and the ``flipud``/``fliplr`` args are ignored. The trainer's
         stop-aug-last-N semantics (engine.py:475-480) mutate
-        ``hyp['mosaic']``/``hyp['mixup']`` in place."""
+        ``hyp['mosaic']``/``hyp['mixup']`` in place.
+
+        ``partner_pool`` (strong-aug only): number of EXTRA dataset-wide
+        samples appended to each batch as a mosaic/mixup partner pool,
+        matching the reference's dataset-wide partner draws
+        (datasets.py get_mosaic / __getitem__ mixup). 0 keeps in-batch
+        partners (equivalent in distribution under a shuffled sampler, but
+        partners then correlate within the batch). The event block then has
+        B + partner_pool rows; the train step emits the first B."""
         self.ds = dataset
         self.batch_size = batch_size
         self.img_size = img_size
         self.flipud = flipud
         self.fliplr = fliplr
         self.hyp = dict(hyp) if hyp else None
+        self.partner_pool = int(partner_pool)
         self._aug_rng = np.random.default_rng(seed + 777)
         self.shuffle = shuffle
         self.seed = seed
@@ -149,6 +159,24 @@ class EventBatchLoader:
             from ..ops.warp import AugPlan
             from .augment import plan_augment_batch
 
+            n_out = len(samples)
+            if self.partner_pool > 0:
+                # dataset-wide partner pool: extra samples appended to the
+                # event block, never emitted (datasets.py get_mosaic /
+                # mixup draw random dataset indices)
+                extra_idx = self._aug_rng.integers(
+                    len(self.ds), size=self.partner_pool
+                )
+                extras = [self.ds[int(i)] for i in extra_idx]
+                samples = samples + extras
+                ev = np.stack([s.events for s in samples])
+                abs_labels = abs_labels + [
+                    letterbox_labels(
+                        s.labels[: s.num_labels], self.ds.height,
+                        self.ds.width, self.img_size,
+                    )
+                    for s in extras
+                ]
             num = np.array([s.num_events for s in samples], np.int32)
             blocks = EventBlock(
                 x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
@@ -157,7 +185,8 @@ class EventBatchLoader:
             cap *= 4 if self.hyp.get("mosaic", 0.0) > 0 else 1
             cap *= 2 if self.hyp.get("mixup", 0.0) > 0 else 1
             plan, labels, nl = plan_augment_batch(
-                abs_labels, self.img_size, self.hyp, self._aug_rng, cap
+                abs_labels, self.img_size, self.hyp, self._aug_rng, cap,
+                n_out=n_out,
             )
             mask = np.arange(cap)[None, :] < nl[:, None]
             return Batch(
@@ -167,7 +196,7 @@ class EventBatchLoader:
                 gt_bboxes=labels[..., 1:5].astype(np.float32),
                 gt_mask=mask.astype(np.float32),
                 aug=AugPlan(**plan),
-            ), np.array([s.index for s in samples])
+            ), np.array([s.index for s in samples[:n_out]])
 
         labels_aug = []
         for bi, s in enumerate(samples):

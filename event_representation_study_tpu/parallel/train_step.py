@@ -85,7 +85,12 @@ def make_train_step(
         reps = rep_fn(batch.events)
         img = letterbox_image(reps, img_size)
         if batch.aug is not None:
+            # the event block may carry extra dataset-wide partner rows
+            # (loader partner_pool); compose all pool rows (mixup partners
+            # need their own composed output, like the reference's fresh
+            # mosaic per mixup call) and emit only the labeled ones
             img = compose_warp(img, batch.aug, img_size)
+            img = img[: batch.gt_labels.shape[0]]
         return img / 255.0
 
     def loss_fn(params, batch_stats, batch: Batch, epoch):

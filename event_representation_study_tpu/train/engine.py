@@ -59,6 +59,7 @@ class Trainer:
         stop_aug_last_n_epoch: int = 15,
         nominal_batch_size: int = 64,
         plot_images: bool = False,
+        partner_pool: int = 0,
     ):
         self.cfg = cfg
         self.epochs = epochs
@@ -86,6 +87,8 @@ class Trainer:
             flipud=aug.get("flipud", 0.0), fliplr=aug.get("fliplr", 0.0),
             hyp=dict(aug) if augment else None,
             shard_id=shard_id, num_shards=num_shards,
+            # dataset-wide mosaic/mixup partner draws (0 = in-batch partners)
+            partner_pool=partner_pool if augment else 0,
         )
         self.val_loader = EventBatchLoader(
             self.val_ds, batch_size, img_size=img_size, shuffle=False, drop_last=False

@@ -181,6 +181,70 @@ def test_mosaic_batch_through_train_step(gen1_fixture):
     assert np.isfinite(float(parts["loss"]))
 
 
+def test_dataset_wide_partner_pool(gen1_fixture):
+    """partner_pool appends dataset-wide mosaic/mixup partners (the
+    reference's random-dataset-index draws, datasets.py get_mosaic): the
+    event block grows to B+pool rows, the plan covers every pool row, gt
+    stays at B rows, and the batch still flows through the train step."""
+    from event_representation_study_tpu.data.augment import plan_augment_batch
+    from event_representation_study_tpu.data.gen1 import Gen1H5
+    from event_representation_study_tpu.data.loader import EventBatchLoader
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import (
+        SolverConfig,
+        build_optimizer,
+    )
+    from event_representation_study_tpu.utils.config import load_config
+
+    # planner-level: P pool rows, n_out emitted, partners may be pool rows
+    rng = np.random.default_rng(3)
+    labels = [np.array([[0, 1.0 + i, 1.0, 9.0, 9.0]], np.float32)
+              for i in range(12)]
+    hyp = dict(mosaic=1.0, mixup=1.0, degrees=0.0, translate=0.0, scale=0.0,
+               shear=0.0, fliplr=0.0, flipud=0.0)
+    plan, lab, nl = plan_augment_batch(labels, 64, hyp, rng, label_cap=16,
+                                       n_out=4)
+    assert plan["src_idx"].shape == (12, 4) and plan["mix_idx"].shape == (12,)
+    assert lab.shape == (4, 16, 5) and nl.shape == (4,)
+    assert plan["src_idx"][:4].max() >= 4  # a dataset-wide partner was drawn
+
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125"],
+    )
+    ds = Gen1H5(gen1_fixture, task="train", num_events=1024, max_boxes=8)
+    ld = EventBatchLoader(ds, batch_size=4, img_size=64, shuffle=True,
+                          hyp=dict(cfg["data_aug"], mosaic=1.0, mixup=1.0),
+                          partner_pool=4)
+    batch, idx = next(iter(ld))
+    assert batch.aug is not None and len(idx) == 4
+    assert batch.events.x.shape[0] == 8  # B + pool rows
+    assert batch.gt_bboxes.shape[0] == 4
+    assert batch.aug.src_idx.shape[0] == 8
+
+    model = build_model(cfg, num_classes=2)
+    dummy = jnp.zeros((4, 64, 64, 12))
+    tx = build_optimizer(
+        jax.eval_shape(
+            functools.partial(model.init, train=True), jax.random.PRNGKey(0), dummy
+        )["params"],
+        SolverConfig(steps_per_epoch=4, epochs=2, batch_size=4),
+    )
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    step = make_train_step(
+        model, LossConfig(num_classes=2), tx,
+        representation="OptimizedRepresentation",
+        rep_hw=(ds.height, ds.width), img_size=64, donate=False,
+    )
+    state, parts = step(state, jax.device_put(batch), jnp.int32(0))
+    assert np.isfinite(float(parts["loss"]))
+
+
 def test_stop_aug_semantics(gen1_fixture):
     """The trainer zeroes mosaic/mixup at epochs - stop_aug_last_n_epoch
     (engine.py:475-480) while keeping affine/flips."""
