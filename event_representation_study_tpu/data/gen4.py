@@ -61,6 +61,42 @@ def filter_boxes(boxes: np.ndarray, min_box_diag: float = 60, min_box_side: floa
     return boxes[mask]
 
 
+def _write_recording(f, i, x, y, t, p, boxes, height, width, max_class_id):
+    """One Gen1-layout recording group: filtered events + timestamp-grouped
+    boxes (the write side of precompute_reps.py:253-310 toh5pyfiles)."""
+    ok = (x >= 0) & (x < width) & (y >= 0) & (y < height)
+    x, y, t, p = x[ok], y[ok], t[ok], p[ok]
+    boxes = crop_to_frame(boxes, height, width)
+    boxes = filter_boxes(boxes)
+    boxes = boxes[boxes[:, 5] <= max_class_id]
+
+    g = f.create_group(f"rec{i:05d}")
+    ge = g.create_group("events")
+    ge["x"] = x.astype(np.uint16)
+    ge["y"] = y.astype(np.uint16)
+    ge["t"] = t.astype(np.int64)
+    ge["p"] = np.where(p > 0, 1, -1).astype(np.int8)
+    ge["height"], ge["width"] = height, width
+
+    # group boxes by unique timestamp like the Gen1 layout
+    ts = boxes[:, 0]
+    t_unique, inv = np.unique(ts, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    boxes = boxes[order]
+    counts = np.bincount(inv, minlength=len(t_unique))
+    offsets = np.cumsum(counts)
+    event_idx = np.searchsorted(t, t_unique, side="right")
+    gb = g.create_group("bbox")
+    gb["t_unique"] = t_unique.astype(np.int64)
+    gb["offsets"] = offsets.astype(np.int64)
+    gb["class_id"] = boxes[:, 5].astype(np.int64)
+    gb["x"] = boxes[:, 1].astype(np.float32)
+    gb["y"] = boxes[:, 2].astype(np.float32)
+    gb["w"] = boxes[:, 3].astype(np.float32)
+    gb["h"] = boxes[:, 4].astype(np.float32)
+    gb["event_idx"] = event_idx.astype(np.int64)
+
+
 def consolidate_npz(
     npz_files: Sequence[str],
     out_path,
@@ -76,40 +112,59 @@ def consolidate_npz(
                 fh = np.load(path)
             except Exception:  # bad-CRC tolerance (precompute_reps.py:278-282)
                 continue
-            x, y = np.asarray(fh["x"]), np.asarray(fh["y"])
-            t, p = np.asarray(fh["t"]), np.asarray(fh["p"])
-            ok = (x >= 0) & (x < width) & (y >= 0) & (y < height)
-            x, y, t, p = x[ok], y[ok], t[ok], p[ok]
             boxes = np.asarray(fh["boxes"]) if "boxes" in fh else np.zeros((0, 6))
-            boxes = crop_to_frame(boxes, height, width)
-            boxes = filter_boxes(boxes)
-            boxes = boxes[boxes[:, 5] <= max_class_id]
+            _write_recording(
+                f, i, np.asarray(fh["x"]), np.asarray(fh["y"]),
+                np.asarray(fh["t"]), np.asarray(fh["p"]), boxes,
+                height, width, max_class_id,
+            )
+    return out_path
 
-            g = f.create_group(f"rec{i:05d}")
-            ge = g.create_group("events")
-            ge["x"] = x.astype(np.uint16)
-            ge["y"] = y.astype(np.uint16)
-            ge["t"] = t.astype(np.int64)
-            ge["p"] = np.where(p > 0, 1, -1).astype(np.int8)
-            ge["height"], ge["width"] = height, width
 
-            # group boxes by unique timestamp like the Gen1 layout
-            ts = boxes[:, 0]
-            t_unique, inv = np.unique(ts, return_inverse=True)
-            order = np.argsort(inv, kind="stable")
-            boxes = boxes[order]
-            counts = np.bincount(inv, minlength=len(t_unique))
-            offsets = np.cumsum(counts)
-            event_idx = np.searchsorted(t, t_unique, side="right")
-            gb = g.create_group("bbox")
-            gb["t_unique"] = t_unique.astype(np.int64)
-            gb["offsets"] = offsets.astype(np.int64)
-            gb["class_id"] = boxes[:, 5].astype(np.int64)
-            gb["x"] = boxes[:, 1].astype(np.float32)
-            gb["y"] = boxes[:, 2].astype(np.float32)
-            gb["w"] = boxes[:, 3].astype(np.float32)
-            gb["h"] = boxes[:, 4].astype(np.float32)
-            gb["event_idx"] = event_idx.astype(np.int64)
+def _load_boxes_any(path) -> np.ndarray:
+    """Box file -> (N, 6) [t, x, y, w, h, cls]: Prophesee GT .npy (structured
+    dtype with t/ts, x, y, w, h, class_id fields — the 1 Mpx release format)
+    or a plain (N, 6) float array."""
+    raw = np.load(path)
+    if raw.dtype.names:
+        tkey = "t" if "t" in raw.dtype.names else "ts"
+        cols = [raw[tkey], raw["x"], raw["y"], raw["w"], raw["h"],
+                raw["class_id"]]
+        return np.stack([np.asarray(c, np.float64) for c in cols], -1)
+    return np.asarray(raw, np.float64).reshape(-1, 6)
+
+
+def consolidate_recordings(
+    event_files: Sequence[str],
+    box_files: Sequence[Optional[str]],
+    out_path,
+    height: int = GEN4_H,
+    width: int = GEN4_W,
+    max_class_id: int = 2,
+):
+    """Stage 1 from the dataset's RELEASE formats: per-recording event files
+    in any supported container (Prophesee ``*_td.dat`` EVT2.0, .h5, .npz,
+    .npy — suffix-dispatched through events.load_events_from_path) paired
+    with ``*_bbox.npy`` GT files. This closes the raw-download -> train
+    chain without the reference's intermediate npy conversion
+    (precompute_reps.py:270-271 loads preconverted npy pairs)."""
+    from ..events.h5_io import load_events_from_path
+
+    assert len(event_files) == len(box_files)
+    pairs = sorted(zip(event_files, box_files), key=lambda ab: str(ab[0]))
+    with h5py.File(out_path, "w") as f:
+        for i, (ev_path, box_path) in enumerate(pairs):
+            ev = load_events_from_path(ev_path)
+            boxes = (
+                _load_boxes_any(box_path)
+                if box_path is not None
+                else np.zeros((0, 6))
+            )
+            _write_recording(
+                f, i, np.asarray(ev["x"]), np.asarray(ev["y"]),
+                np.asarray(ev["t"]), np.asarray(ev["p"]), boxes,
+                height, width, max_class_id,
+            )
     return out_path
 
 

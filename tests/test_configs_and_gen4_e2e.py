@@ -91,3 +91,71 @@ def test_gen4_trainer_end_to_end(tmp_path):
                 3, "OptimizedRepresentation", img_size=S)
     stats = ev.run({"params": state.params, "batch_stats": state.batch_stats})
     assert np.isfinite(stats["AP"])
+
+
+def test_gen4_dat_chain_matches_npz_route(tmp_path):
+    """The raw-release chain: Prophesee *_td.dat (EVT2.0) + *_bbox.npy GT
+    (structured dtype) -> consolidate_recordings produces byte-identical
+    consolidated recordings to the npz route on the same data, and the
+    result reads back through Gen4Dataset."""
+    import h5py
+
+    from event_representation_study_tpu.data.gen4 import (
+        Gen4Dataset,
+        consolidate_npz,
+        consolidate_recordings,
+    )
+    from event_representation_study_tpu.events.prophesee import write_dat
+
+    rng = np.random.default_rng(5)
+    H, W = 720, 1280
+    (tmp_path / "raw").mkdir()
+    npz_files, dat_files, box_files = [], [], []
+    for r in range(2):
+        n = 4000
+        x = rng.integers(0, W, n).astype(np.int32)
+        y = rng.integers(0, H, n).astype(np.int32)
+        t = np.sort(rng.integers(0, 1_000_000, n)).astype(np.int64)
+        p = rng.choice([-1, 1], n).astype(np.int32)
+        boxes = np.array(
+            [[500_000, 100.0 + r, 200.0, 80.0, 60.0, 1],
+             [800_000, 300.0, 90.0, 70.0, 65.0, 2]], np.float64,
+        )
+        npz = tmp_path / "raw" / f"rec{r}.npz"
+        np.savez(npz, x=x, y=y, t=t, p=p, boxes=boxes)
+        npz_files.append(npz)
+
+        ev = np.zeros(n, dtype=[("x", "<i4"), ("y", "<i4"),
+                                ("t", "<i8"), ("p", "<i4")])
+        ev["x"], ev["y"], ev["t"], ev["p"] = x, y, t, p
+        dat = tmp_path / "raw" / f"rec{r}_td.dat"
+        write_dat(dat, ev, H, W)
+        dat_files.append(dat)
+        gt = np.zeros(2, dtype=[("t", "<u8"), ("x", "<f4"), ("y", "<f4"),
+                                ("w", "<f4"), ("h", "<f4"),
+                                ("class_id", "<u4")])
+        for k, col in zip(("t", "x", "y", "w", "h", "class_id"), boxes.T):
+            gt[k] = col
+        box = tmp_path / "raw" / f"rec{r}_bbox.npy"
+        np.save(box, gt)
+        box_files.append(box)
+
+    consolidate_npz(npz_files, tmp_path / "from_npz.h5")
+    consolidate_recordings(dat_files, box_files, tmp_path / "from_dat.h5")
+
+    with h5py.File(tmp_path / "from_npz.h5") as a, \
+            h5py.File(tmp_path / "from_dat.h5") as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for rec in a:
+            for grp in ("events", "bbox"):
+                for key in a[rec][grp]:
+                    np.testing.assert_array_equal(
+                        np.asarray(a[rec][grp][key]),
+                        np.asarray(b[rec][grp][key]),
+                        err_msg=f"{rec}/{grp}/{key}",
+                    )
+
+    ds = Gen4Dataset(tmp_path / "from_dat.h5", task="train",
+                     num_events=2048, max_boxes=8)
+    s = ds[0]
+    assert s.num_labels > 0 and s.num_events > 0
