@@ -39,12 +39,19 @@ class JsonlWriter:
 
 
 class TensorBoardWriter:
-    """events.py write_tblog twin; requires a tensorboard implementation."""
+    """events.py write_tblog twin. Uses the first-party event-file writer
+    (utils/tb_native.py — no torch/tensorboard import); pass
+    ``native=False`` to route through torch's SummaryWriter instead."""
 
-    def __init__(self, log_dir):
-        from torch.utils.tensorboard import SummaryWriter  # optional dep
+    def __init__(self, log_dir, native: bool = True):
+        if native:
+            from .tb_native import NativeTBWriter
 
-        self.writer = SummaryWriter(str(log_dir))
+            self.writer = NativeTBWriter(log_dir)
+        else:
+            from torch.utils.tensorboard import SummaryWriter  # optional dep
+
+            self.writer = SummaryWriter(str(log_dir))
 
     def log(self, metrics: Dict, step: int):
         for k, v in metrics.items():
