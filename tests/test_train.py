@@ -223,3 +223,83 @@ def test_train_step_on_mesh():
         assert np.isfinite(float(parts["loss"]))
         assert int(state.step) == 1
         assert int(state.ema.updates) == 1
+
+
+def test_train_step_dp_x_tp():
+    """dp x tp over a 2-D (data x model) mesh: parameters (and the optax
+    trace + EMA mirroring them) sharded output-channel over "model", batch
+    over "data"; the step must produce the same loss as the replicated run
+    and keep the update sharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from event_representation_study_tpu.events import (
+        from_structured,
+        generate_fake_events,
+        stack_blocks,
+    )
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.tensor_parallel import (
+        count_tp_sharded,
+        shard_state_tp,
+    )
+    from event_representation_study_tpu.parallel.train_step import (
+        Batch,
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
+    from event_representation_study_tpu.utils.config import load_config
+
+    H, W, S, CAP, M, B = 240, 304, 64, 512, 4, 4
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125"],
+    )
+    model = build_model(cfg, num_classes=2)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+
+    evs = [generate_fake_events(300, height=H, width=W, seed=i) for i in range(B)]
+    blocks = stack_blocks([from_structured(e, CAP) for e in evs])
+    gt_b = np.zeros((B, M, 4), np.float32)
+    gt_b[:, 0] = [10, 10, 40, 40]
+    batch = Batch(
+        images=None,
+        events=blocks,
+        gt_labels=jnp.zeros((B, M), jnp.int32),
+        gt_bboxes=jnp.asarray(gt_b),
+        gt_mask=jnp.zeros((B, M)).at[:, 0].set(1.0),
+    )
+    dummy = jnp.zeros((B, S, S, 12))
+    solver = SolverConfig(steps_per_epoch=10, epochs=4, batch_size=B,
+                          warmup_epochs=0.0)
+    tx = build_optimizer(
+        jax.eval_shape(
+            functools.partial(model.init, train=True), jax.random.PRNGKey(0), dummy
+        )["params"],
+        solver,
+    )
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    step = make_train_step(
+        model, LossConfig(num_classes=2), tx,
+        representation="OptimizedRepresentation", rep_hw=(H, W), img_size=S,
+        donate=False,
+    )
+    # replicated single-device run for the reference loss
+    ref_state, ref_parts = step(state, jax.device_put(batch), jnp.int32(10))
+    ref_loss = float(ref_parts["loss"])
+
+    with mesh:
+        data_s = NamedSharding(mesh, P("data"))
+        sharded_batch = jax.tree.map(lambda x: jax.device_put(x, data_s), batch)
+        tp_state = shard_state_tp(state, mesh)
+        assert count_tp_sharded(tp_state.params) > 10
+        assert count_tp_sharded(tp_state.opt_state) > 10  # momentum trace too
+        new_state, parts = step(tp_state, sharded_batch, jnp.int32(10))
+        assert float(parts["loss"]) == pytest.approx(ref_loss, rel=2e-4)
+        # update stayed sharded (no silent full replication of params)
+        assert count_tp_sharded(new_state.params) > 10
+        ref_leaf = jax.tree.leaves(ref_state.params)[0]
+        got_leaf = jax.tree.leaves(new_state.params)[0]
+        np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf),
+                                   rtol=2e-4, atol=2e-5)
