@@ -160,6 +160,10 @@ def bench_detector_steps():
     )
 
     out = {}
+    try:
+        out.update(_bench_aug_step(cfg, B, S))
+    except Exception as e:  # keep the plain step metrics alive
+        out["detector_aug_error"] = f"{type(e).__name__}: {e}"[:200]
     for name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
         model = build_model(cfg, num_classes=2, dtype=dtype)
         solver = SolverConfig(steps_per_epoch=100, epochs=10, batch_size=B)
@@ -192,6 +196,92 @@ def bench_detector_steps():
             / out["detector_train_step_ms_bf16"], 2,
         )
     return out
+
+
+def _bench_aug_step(cfg, B, S):
+    """Full strong-aug train step: raw events -> fused rep -> mosaic/affine/
+    mixup warp (ops/warp.py routed single-gather) -> detector -> update. The
+    reference pays this in CPU workers (cv2 warps, data_augment.py); here it
+    is part of the one fused device program, so its cost shows up in step
+    time and is regression-tracked."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.data.augment import plan_augment_batch
+    from event_representation_study_tpu.events import (
+        from_structured,
+        generate_fake_events,
+        stack_blocks,
+    )
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.ops.warp import AugPlan
+    from event_representation_study_tpu.parallel.train_step import (
+        Batch,
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
+
+    H, W, N, M = 240, 304, 50000, 8
+    rng = np.random.default_rng(0)
+    evs = [generate_fake_events(N, height=H, width=W, seed=i) for i in range(B)]
+    blocks = stack_blocks([from_structured(e, N) for e in evs])
+    labels = [
+        np.concatenate(
+            [rng.integers(0, 2, (2, 1)).astype(np.float32),
+             np.array([[0.1 * S, 0.1 * S, 0.5 * S, 0.5 * S],
+                       [0.2 * S, 0.3 * S, 0.7 * S, 0.8 * S]], np.float32)],
+            axis=1,
+        )
+        for _ in range(B)
+    ]
+    hyp = dict(mosaic=1.0, mixup=0.243, degrees=0.373, translate=0.245,
+               scale=0.898, shear=0.602, fliplr=0.5, flipud=0.0)
+    cap = M * 8
+    plan, lab, nl = plan_augment_batch(labels, S, hyp,
+                                       np.random.default_rng(1), cap)
+    mask = (np.arange(cap)[None, :] < nl[:, None]).astype(np.float32)
+    batch = Batch(
+        images=None,
+        events=blocks,
+        gt_labels=lab[..., 0].astype(np.int32),
+        gt_bboxes=lab[..., 1:5].astype(np.float32),
+        gt_mask=mask,
+        aug=AugPlan(**plan),
+    )
+    batch = jax.device_put(batch)
+
+    model = build_model(cfg, num_classes=2, dtype=jnp.bfloat16)
+    dummy = jnp.zeros((B, S, S, 12))
+    tx = build_optimizer(
+        jax.eval_shape(
+            functools.partial(model.init, train=True), jax.random.PRNGKey(0),
+            dummy,
+        )["params"],
+        SolverConfig(steps_per_epoch=100, epochs=10, batch_size=B),
+    )
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    step = make_train_step(model, LossConfig(num_classes=2), tx,
+                           representation="OptimizedRepresentation",
+                           rep_hw=(H, W), img_size=S, donate=True)
+    epoch = jnp.int32(10)
+    state, parts = step(state, batch, epoch)
+    float(parts["loss"])
+    iters = int(os.environ.get("BENCH_DETECTOR_ITERS", 8))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, parts = step(state, batch, epoch)
+    loss = float(parts["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss)
+    return {
+        "detector_train_step_ms_bf16_aug": round(dt * 1e3, 2),
+        "detector_imgs_per_s_bf16_aug": round(B / dt, 1),
+    }
 
 
 if __name__ == "__main__":

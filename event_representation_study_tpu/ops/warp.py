@@ -58,39 +58,26 @@ def identity_plan(batch_size: int, out_size: int) -> AugPlan:
     )
 
 
-def _bilinear_sample(img, xs, ys, pad_value):
-    """img (H, W, C); xs/ys (S, S) source coords -> (S, S, C) with constant pad."""
-    H, W = img.shape[0], img.shape[1]
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    wx = xs - x0
-    wy = ys - y0
-    out = 0.0
-    for dy in (0, 1):
-        for dx in (0, 1):
-            xi = x0 + dx
-            yi = y0 + dy
-            w = ((1 - wx) if dx == 0 else wx) * ((1 - wy) if dy == 0 else wy)
-            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-            v = img[
-                jnp.clip(yi, 0, H - 1).astype(jnp.int32),
-                jnp.clip(xi, 0, W - 1).astype(jnp.int32),
-            ]
-            v = jnp.where(valid[..., None], v, pad_value)
-            out = out + w[..., None] * v
-    return out
-
-
 def compose_warp(
-    images: jnp.ndarray,  # (B, H, W, C) — letterboxed reps, 0..255 scale
+    images: jnp.ndarray,  # (P, H, W, C) — letterboxed reps, 0..255 scale
     plan: AugPlan,
     out_size: int,
     pad_value: float = PAD_VALUE,
 ) -> jnp.ndarray:
     """Execute the plan: mosaic-route + affine-sample + mixup-blend.
 
-    Returns (B, out_size, out_size, C)."""
-    B = images.shape[0]
+    ``images`` may have MORE rows than the plan's batch (a dataset-wide
+    partner pool, loader ``partner_pool``); output rows follow the plan.
+
+    The mosaic tiles are disjoint in canvas space, so each output pixel is
+    routed to exactly one source image FIRST (argmax over the 4 tile tests),
+    then sampled with a single bilinear gather through a flattened
+    (src, y, x) index — 4 corner gathers total instead of 4 per tile, the
+    difference between one and four serialized gather passes on TPU.
+
+    Returns (B, out_size, out_size, C) with B = plan rows."""
+    B = plan.src_idx.shape[0]
+    P, H, W, C = images.shape
     ys, xs = jnp.mgrid[0:out_size, 0:out_size]
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
@@ -100,26 +87,49 @@ def compose_warp(
     cx = inv[:, 0, 0, None, None] * xs + inv[:, 0, 1, None, None] * ys + inv[:, 0, 2, None, None]
     cy = inv[:, 1, 0, None, None] * xs + inv[:, 1, 1, None, None] * ys + inv[:, 1, 2, None, None]
 
-    out = jnp.full((B, out_size, out_size, images.shape[-1]), pad_value, images.dtype)
-    for k in range(4):
-        box = plan.tile_boxes[:, k]  # (B, 4)
-        inside = (
-            (cx >= box[:, 0, None, None])
-            & (cx < box[:, 2, None, None])
-            & (cy >= box[:, 1, None, None])
-            & (cy < box[:, 3, None, None])
-        )
-        sx = cx - plan.tile_offsets[:, k, 0, None, None]
-        sy = cy - plan.tile_offsets[:, k, 1, None, None]
-        src = images[plan.src_idx[:, k]]  # (B, H, W, C)
-        samp = _vmapped_sample(src, sx, sy, pad_value)
-        out = jnp.where(inside[..., None], samp, out)
+    # per-pixel tile routing: (B, 4, S, S) disjoint inside tests -> tile id
+    box = plan.tile_boxes[:, :, :, None, None]  # (B, 4, 4, 1, 1)
+    inside = (
+        (cx[:, None] >= box[:, :, 0])
+        & (cx[:, None] < box[:, :, 2])
+        & (cy[:, None] >= box[:, :, 1])
+        & (cy[:, None] < box[:, :, 3])
+    )
+    tile = jnp.argmax(inside, axis=1)  # (B, S, S) — disjoint, first hit wins
+    covered = jnp.any(inside, axis=1)
+
+    def per_pixel(table):  # (B, 4) -> (B, S, S) gathered by tile id
+        return jnp.take_along_axis(
+            table[:, :, None], tile.reshape(B, 1, -1), axis=1
+        ).reshape(B, out_size, out_size)
+
+    sx = cx - per_pixel(plan.tile_offsets[:, :, 0])
+    sy = cy - per_pixel(plan.tile_offsets[:, :, 1])
+    src = per_pixel(plan.src_idx[:, :].astype(jnp.float32)).astype(jnp.int32)
+
+    # single routed bilinear gather (4 corners) through a flat (src*H+y)*W+x
+    flat = images.reshape(P * H * W, C)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    out = jnp.zeros((B, out_size, out_size, C), images.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            w = ((1 - wx) if dx == 0 else wx) * ((1 - wy) if dy == 0 else wy)
+            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & covered
+            idx = (
+                src * (H * W)
+                + jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
+                + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+            )
+            v = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+                B, out_size, out_size, C
+            )
+            v = jnp.where(valid[..., None], v, pad_value)
+            out = out + w[..., None] * v
 
     r = plan.mix_r[:, None, None, None]
     return r * out + (1.0 - r) * out[plan.mix_idx]
-
-
-def _vmapped_sample(src, sx, sy, pad_value):
-    import jax
-
-    return jax.vmap(_bilinear_sample, in_axes=(0, 0, 0, None))(src, sx, sy, pad_value)
