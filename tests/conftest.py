@@ -14,11 +14,14 @@ import jax
 
 # the axon TPU plugin can override JAX_PLATFORMS; force the config too
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: the suite is compile-bound (deep conv graphs
-# + pallas interpret lowerings); repeat runs drop from ~20min to minutes
-jax.config.update("jax_compilation_cache_dir", "/tmp/ers_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# persistent compilation cache: repeat suite runs drop from ~20min to
+# minutes, BUT the cache write path (executable serialize + zstd) has
+# segfaulted under concurrent pytest sessions on this image — opt-in only
+# (ERS_TEST_COMPILE_CACHE=1) so the default suite run is robust.
+if os.environ.get("ERS_TEST_COMPILE_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ers_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
