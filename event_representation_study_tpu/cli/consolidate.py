@@ -34,9 +34,19 @@ def main(args=None):
     dats = sorted(root.glob("*_td.dat"))
     if dats:
         boxes = []
+        missing = 0
         for d in dats:
             b = d.with_name(d.name.replace("_td.dat", "_bbox.npy"))
-            boxes.append(b if b.exists() else None)
+            if not b.exists():
+                missing += 1
+                print(f"WARNING: no GT file {b.name} — consolidating "
+                      f"{d.name} with EMPTY labels")
+                b = None
+            boxes.append(b)
+        if missing:
+            print(f"WARNING: {missing}/{len(dats)} recordings have no "
+                  "*_bbox.npy GT — check the directory if labels were "
+                  "expected")
         print(f"consolidating {len(dats)} .dat recordings -> {a.output}")
         consolidate_recordings(dats, boxes, a.output, height=a.height,
                                width=a.width, max_class_id=a.max_class_id)

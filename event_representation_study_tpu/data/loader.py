@@ -169,7 +169,9 @@ class EventBatchLoader:
                 )
                 extras = [self.ds[int(i)] for i in extra_idx]
                 samples = samples + extras
-                ev = np.stack([s.events for s in samples])
+                ev = np.concatenate(
+                    [ev, np.stack([s.events for s in extras])]
+                )
                 abs_labels = abs_labels + [
                     letterbox_labels(
                         s.labels[: s.num_labels], self.ds.height,

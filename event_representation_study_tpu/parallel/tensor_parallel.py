@@ -26,11 +26,11 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def tp_spec_for(shape, tp: int) -> P:
-    """Output-channel sharding rule: trailing axis over "model" when it
-    divides the axis size; everything else replicated."""
+def tp_spec_for(shape, tp: int, axis: str = "model") -> P:
+    """Output-channel sharding rule: trailing axis over ``axis`` when it
+    divides the mesh-axis size; everything else replicated."""
     if len(shape) >= 2 and shape[-1] % tp == 0 and shape[-1] >= tp:
-        return P(*([None] * (len(shape) - 1)), "model")
+        return P(*([None] * (len(shape) - 1)), axis)
     return P()
 
 
@@ -40,10 +40,7 @@ def shard_state_tp(state: Any, mesh: Mesh, axis: str = "model") -> Any:
     tp = mesh.shape[axis]
 
     def put(x):
-        shape = getattr(x, "shape", ())
-        spec = tp_spec_for(shape, tp)
-        if axis != "model" and spec != P():
-            spec = P(*spec[:-1], axis)
+        spec = tp_spec_for(getattr(x, "shape", ()), tp, axis)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, state)

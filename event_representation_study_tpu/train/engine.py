@@ -157,8 +157,19 @@ class Trainer:
         )
         import math
 
-        # the data axis must divide the batch
-        self.mesh = make_mesh(math.gcd(batch_size, len(jax.devices())))
+        # the data axis must divide the batch — and, with a partner pool,
+        # also the B+pool event-block rows the strong-aug batches carry
+        d = math.gcd(batch_size, len(jax.devices()))
+        if augment and partner_pool:
+            d = math.gcd(d, batch_size + partner_pool)
+            if d < math.gcd(batch_size, len(jax.devices())):
+                LOGGER.warning(
+                    "partner_pool=%d shrinks the data axis to %d devices "
+                    "(batch+pool=%d must shard too); pick pool so that "
+                    "batch+pool is a multiple of the device count",
+                    partner_pool, d, batch_size + partner_pool,
+                )
+        self.mesh = make_mesh(d)
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(seed), dummy
         )
@@ -232,7 +243,11 @@ class Trainer:
                         # train-batch mosaic with gt boxes (engine.py:719-780)
                         from ..utils.viz import plot_train_batch
 
-                        imgs = np.asarray(self.evaler._images(batch.events))
+                        # events may carry extra partner-pool rows; plot
+                        # only the labeled batch rows
+                        imgs = np.asarray(
+                            self.evaler._images(batch.events)
+                        )[: batch.gt_labels.shape[0]]
                         plot_train_batch(
                             imgs, np.asarray(batch.gt_bboxes),
                             np.asarray(batch.gt_mask),

@@ -51,6 +51,8 @@ def masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:  # proto int64: negatives encode as 64-bit two's complement
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -137,11 +139,23 @@ class NativeTBWriter:
     """Drop-in scalar/image event writer (the write_tblog role) with no
     torch/tensorboard dependency. One events file per instance."""
 
+    _instance_counter = 0
+
     def __init__(self, log_dir):
         log_dir = pathlib.Path(log_dir)
         log_dir.mkdir(parents=True, exist_ok=True)
-        name = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
-        self._f = open(log_dir / name, "ab")
+        # pid + per-process counter uniquify writers created within the
+        # same second (torch's SummaryWriter does the same) — two writers
+        # appending to one file would interleave streams
+        NativeTBWriter._instance_counter += 1
+        import os
+
+        name = (
+            f"events.out.tfevents.{int(time.time())}."
+            f"{socket.gethostname()}.{os.getpid()}."
+            f"{NativeTBWriter._instance_counter}"
+        )
+        self._f = open(log_dir / name, "wb")
         self._write(_event(0, file_version="brain.Event:2"))
 
     def _write(self, payload: bytes):

@@ -77,6 +77,32 @@ def test_native_tb_image_round_trip(tmp_path):
     np.testing.assert_array_equal(decoded, img)
 
 
+def test_negative_step_round_trips(tmp_path):
+    """int64 proto varints: negative steps must encode as two's complement
+    (not hang) and read back correctly."""
+    from event_representation_study_tpu.utils.tb_native import NativeTBWriter
+
+    w = NativeTBWriter(tmp_path)
+    w.add_scalar("t", 1.0, step=-1)
+    w.close()
+    events = _load_events(tmp_path)
+    assert events[1].step == -1
+
+
+def test_two_writers_same_second_do_not_collide(tmp_path):
+    from event_representation_study_tpu.utils.tb_native import NativeTBWriter
+
+    a = NativeTBWriter(tmp_path)
+    b = NativeTBWriter(tmp_path)
+    a.add_scalar("x", 1.0, 0)
+    b.add_scalar("x", 2.0, 0)
+    a.close()
+    b.close()
+    import pathlib
+
+    assert len(list(pathlib.Path(tmp_path).glob("events.out.tfevents.*"))) == 2
+
+
 def test_crc32c_known_vectors():
     """CRC32-C test vectors (RFC 3720 appendix B.4)."""
     from event_representation_study_tpu.utils.tb_native import crc32c
