@@ -195,7 +195,45 @@ def bench_detector_steps():
             out["detector_train_step_ms_f32"]
             / out["detector_train_step_ms_bf16"], 2,
         )
+    try:
+        out.update(_bench_eval(cfg, B, S))
+    except Exception as e:
+        out["eval_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
+
+
+def _bench_eval(cfg, B, S):
+    """Warm eval path: jitted forward (eval decode) + fixed-shape NMS — the
+    reference's speed task slots (evaler.py:138-177) measured on TPU."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.ops.nms import non_max_suppression
+
+    model = build_model(cfg, num_classes=2, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, S, S, 12)), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.PRNGKey(0), imgs
+    )
+
+    @jax.jit
+    def infer(imgs):
+        preds = model.apply(variables, imgs, False)
+        return non_max_suppression(preds, conf_thres=0.03, iou_thres=0.65)
+
+    r = infer(imgs)
+    jax.block_until_ready(r)
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = infer(imgs)
+    float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / iters
+    return {"eval_infer_nms_ms_per_img": round(dt / B * 1e3, 2)}
 
 
 def _bench_aug_step(cfg, B, S):
