@@ -39,6 +39,9 @@ def get_args_parser():
     p.add_argument("--stop-aug-last-n-epoch", type=int, default=15,
                    help="zero mosaic/mixup for the last N epochs "
                         "(engine.py:475-480)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="train K steps per device dispatch (lax.scan); "
+                        "removes the per-step host round trip")
     p.add_argument("--partner-pool", type=int, default=0,
                    help="with --augment: extra dataset-wide samples per batch "
                         "as mosaic/mixup partners (the reference's random-"
@@ -85,6 +88,7 @@ def main(args=None):
         stop_aug_last_n_epoch=args.stop_aug_last_n_epoch,
         plot_images=args.plot_images,
         partner_pool=args.partner_pool,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     ckpt = args.checkpoint
     if args.resume is not None and ckpt is None:

@@ -57,6 +57,7 @@ def make_train_step(
     rep_hw: Tuple[int, int] = (240, 304),
     img_size: int = 640,
     donate: bool = True,
+    _jit: bool = True,
 ) -> Callable:
     """Build the fused train step. If ``representation`` is given, the step
     consumes raw event blocks and builds the representation on device
@@ -113,7 +114,6 @@ def make_train_step(
         )
         return loss, (parts, updates["batch_stats"])
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Batch, epoch):
         (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, epoch
@@ -129,7 +129,44 @@ def make_train_step(
         parts = dict(parts, loss=loss)
         return new_state, parts
 
-    return train_step
+    if not _jit:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(
+    model,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    k: int,
+    **kwargs,
+) -> Callable:
+    """K train steps per dispatch: lax.scan over a stacked batch (every leaf
+    gains a leading K axis). One device program per K steps removes the
+    per-step host round trip (~9 ms/step through remote-device tunnels,
+    measured on v5e; the standard in-jit training-loop pattern on TPU).
+
+    Signature: multi_step(state, stacked_batch, epoch) ->
+    (state, parts with (K,) arrays)."""
+    step = make_train_step(model, loss_cfg, tx, donate=False, _jit=False,
+                           **kwargs)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches: Batch, epoch):
+        def body(st, b):
+            return step(st, b, epoch)
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
+def stack_batches(batches):
+    """Host-side: stack a list of same-shape Batch pytrees along a new
+    leading K axis (the scan axis of make_multi_train_step)."""
+    import numpy as np
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
 
 def make_eval_step(model, representation: Optional[str] = None,

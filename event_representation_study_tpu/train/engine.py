@@ -60,6 +60,7 @@ class Trainer:
         nominal_batch_size: int = 64,
         plot_images: bool = False,
         partner_pool: int = 0,
+        steps_per_dispatch: int = 1,
     ):
         self.cfg = cfg
         self.epochs = epochs
@@ -179,6 +180,19 @@ class Trainer:
             rep_hw=(self.train_ds.height, self.train_ds.width),
             img_size=img_size,
         )
+        # K steps per device dispatch (lax.scan): removes the per-step host
+        # round trip; 1 = classic per-batch dispatch
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        if self.steps_per_dispatch > 1:
+            from ..parallel.train_step import make_multi_train_step
+
+            self.multi_step = make_multi_train_step(
+                self.model, self.loss_cfg, self.tx,
+                self.steps_per_dispatch,
+                representation=self.representation,
+                rep_hw=(self.train_ds.height, self.train_ds.width),
+                img_size=img_size,
+            )
         self.evaler = Evaler(
             self.model, self.val_loader, nc, self.representation, img_size
         )
@@ -230,6 +244,24 @@ class Trainer:
                 self.prepare_for_epoch(epoch)
                 t0 = time.time()
                 losses = []
+                if self.steps_per_dispatch > 1:
+                    parts = self._train_epoch_scanned(epoch)
+                    if parts is not None:
+                        losses.append(
+                            {k: v[-1] for k, v in parts.items()}
+                        )
+                    if losses:
+                        last = {k: float(v) for k, v in losses[-1].items()}
+                        LOGGER.info(
+                            "epoch %d done in %.1fs loss=%.4f "
+                            "(iou %.3f dfl %.3f cls %.3f)",
+                            epoch, time.time() - t0, last["loss"],
+                            last["iou"], last["dfl"], last["cls"],
+                        )
+                    if self.should_eval(epoch):
+                        stats = self.eval_and_save(epoch)
+                        LOGGER.info("epoch %d eval: %s", epoch, stats)
+                    continue
                 # double-buffered host->HBM staging: the next batch transfers
                 # while the current step computes
                 for batch, _ in device_prefetch(
@@ -277,6 +309,43 @@ class Trainer:
                 if self.should_eval(epoch):
                     stats = self.eval_and_save(epoch)
                     LOGGER.info("epoch %d eval: %s", epoch, stats)
+
+    def _train_epoch_scanned(self, epoch: int):
+        """K-steps-per-dispatch epoch body: group loader batches, stack on
+        host, one jitted lax.scan dispatch per group; the remainder (< K
+        batches) flushes through the per-batch step."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.train_step import stack_batches
+
+        k = self.steps_per_dispatch
+        stacked_s = NamedSharding(self.mesh, P(None, "data"))
+        group = []
+        parts = None
+        for batch, _ in iter(self.train_loader):
+            group.append(batch)
+            if len(group) < k:
+                continue
+            stacked = jax.tree.map(
+                lambda x: jax.device_put(x, stacked_s), stack_batches(group)
+            )
+            group = []
+            self.state, parts = self.multi_step(
+                self.state, stacked, jnp.int32(epoch)
+            )
+            self._host_step += k
+            if self._host_step % self.log_interval < k:
+                self.writer.log(
+                    {key: float(v[-1]) for key, v in parts.items()},
+                    self._host_step,
+                )
+        for batch in group:  # remainder: per-batch path
+            self.state, p1 = self.train_step(
+                self.state, self._shard(batch), jnp.int32(epoch)
+            )
+            parts = {key: jnp.asarray([v]) for key, v in p1.items()}
+            self._host_step += 1
+        return parts
 
     def eval_and_save(self, epoch: int) -> Dict[str, float]:
         variables = self.state.ema.variables

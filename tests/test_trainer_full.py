@@ -92,3 +92,33 @@ def test_detector_learns_on_correlated_fixture(tmp_path):
     assert ap0 < 0.05, f"random init should not detect (ap0={ap0})"
     # measured trajectory: 0.0 -> ~0.17 at 60 epochs with these settings
     assert ap > 0.1, f"detector failed to learn: AP50 {ap0} -> {ap}"
+
+
+def test_scanned_dispatch_matches_per_batch(gen1_fixture, tmp_path):
+    """steps_per_dispatch=2 (lax.scan of the train step over stacked
+    batches) reaches the same weights and step count as the per-batch
+    dispatch path on an identical schedule."""
+    import jax
+
+    from event_representation_study_tpu.train.engine import Trainer
+    from event_representation_study_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125"],
+    )
+    kw = dict(batch_size=2, epochs=1, img_size=64, eval_interval=10,
+              num_events=512, seed=3)
+    a = Trainer(cfg, gen1_fixture, output_dir=tmp_path / "a", **kw)
+    a.train()
+    b = Trainer(cfg, gen1_fixture, output_dir=tmp_path / "b",
+                steps_per_dispatch=2, **kw)
+    b.train()
+    assert int(a.state.step) == int(b.state.step) > 0
+    la = jax.tree.leaves(a.state.params)
+    lb = jax.tree.leaves(b.state.params)
+    import numpy as np
+
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5)
