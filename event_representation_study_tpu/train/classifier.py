@@ -233,9 +233,20 @@ class ClassifierTrainer:
         order = np.arange(len(ds))
         if train:
             rng.shuffle(order)
-        losses, top1s, top5s, n = [], [], [], 0
-        for b0 in range(0, len(order) - batch_size + 1, batch_size):
-            blocks, labels = self._batch_of(ds, order[b0 : b0 + batch_size])
+        losses, top1, top5, seen = [], 0.0, 0.0, 0
+        for b0 in range(0, len(order), batch_size):
+            sel = order[b0 : b0 + batch_size]
+            real = len(sel)
+            if real < batch_size:
+                if train:
+                    break  # training drops the tail (reference drop_last)
+                # eval pads the tail batch (fixed compiled shape) and
+                # counts only the real rows — common_trainer evaluates
+                # every sample, so must we
+                sel = np.concatenate(
+                    [sel, np.repeat(sel[-1:], batch_size - real)]
+                )
+            blocks, labels = self._batch_of(ds, sel)
             if train:
                 self.state, loss, logits = self._train_step(
                     self.state, blocks, jnp.asarray(labels)
@@ -243,11 +254,15 @@ class ClassifierTrainer:
                 losses.append(float(loss))
             else:
                 logits = self._eval_step(self.state, blocks)
-            lg = np.asarray(logits)
-            top1s.append(topk_accuracy(lg, labels, 1))
-            top5s.append(topk_accuracy(lg, labels, min(5, self.num_classes)))
-            n += 1
-        out = {"top1": float(np.mean(top1s)), "top5": float(np.mean(top5s))}
+            lg = np.asarray(logits)[:real]
+            labels = np.asarray(labels)[:real]
+            top1 += topk_accuracy(lg, labels, 1) * real
+            top5 += topk_accuracy(lg, labels, min(5, self.num_classes)) * real
+            seen += real
+        out = {
+            "top1": top1 / seen if seen else float("nan"),
+            "top5": top5 / seen if seen else float("nan"),
+        }
         if losses:
             out["loss"] = float(np.mean(losses))
         return out
