@@ -70,3 +70,31 @@ def test_classifier_learns_separable_task(fixture_data):
     # top-5 with 2 classes is trivially 1
     assert metrics["top5"] == 1.0
     assert topk_accuracy(np.eye(4), np.arange(4), 1) == 1.0
+
+
+def test_eval_covers_partial_tail_batch(fixture_data):
+    """A val set smaller than one batch (or with a ragged tail) must still
+    produce finite metrics covering EVERY sample — the tail batch is padded
+    to the compiled shape and metrics masked to the real rows."""
+    from event_representation_study_tpu.data.nimagenet import NImageNetDataset
+    from event_representation_study_tpu.models.resnet import EventResNet
+    from event_representation_study_tpu.train.classifier import ClassifierTrainer
+
+    files, labels = fixture_data
+    ds3 = NImageNetDataset(files[:3], labels[:3],
+                           loader_type="reshape_then_to_image",
+                           slice_length=1024, seed=0)
+    model = EventResNet(num_classes=2, arch="ResNet18", stem_kernel=7)
+    tr = ClassifierTrainer(model, ds3.representation, 2, lr=1e-3, seed=0)
+    tr.init(batch_size=4, channels=2)
+    m = tr.run_epoch(ds3, batch_size=4, train=False)
+    assert np.isfinite(m["top1"]) and np.isfinite(m["top5"])
+
+    # ragged tail: 7 samples, batch 4 -> weighted mean over 7, not 8
+    ds7 = NImageNetDataset(files[:7], labels[:7],
+                           loader_type="reshape_then_to_image",
+                           slice_length=1024, seed=0)
+    m7 = tr.run_epoch(ds7, batch_size=4, train=False)
+    assert np.isfinite(m7["top1"])
+    # top1 must be k/7 for integer k (proves the denominator is 7)
+    assert abs(m7["top1"] * 7 - round(m7["top1"] * 7)) < 1e-6
