@@ -47,33 +47,50 @@ def main():
     # --- device path: batched fused kernel
     import jax.numpy as jnp
 
-    batch = stack_blocks([from_structured(ev, N) for ev in events])
-    batch = jax.device_put(batch)
-
     from event_representation_study_tpu.reps import batched_representation
 
     rep_fn = batched_representation("OptimizedRepresentation", H, W)
 
-    # Amortize the host<->device round trip (tens of ms through remote-device
-    # tunnels) over INNER_ITERS kernel invocations inside one jit; the final
-    # float() readback forces completion (block_until_ready does not
-    # synchronize through such tunnels).
-    INNER_ITERS = 10
+    # Scan over K DISTINCT stacked batches: a loop-INVARIANT scan body gets
+    # hoisted/CSE'd by XLA and reports ~5x-inflated throughput (measured —
+    # 360M "ev/s" vs the honest 74M on v5e); distinct per-iteration inputs
+    # defeat that while still amortizing the host<->device round trip
+    # (tens of ms through remote-device tunnels). The final float()
+    # readback forces completion (block_until_ready does not synchronize
+    # through such tunnels).
+    K_BLOCKS = 5
+    all_batches = []
+    for k in range(K_BLOCKS):
+        evs_k = (
+            events
+            if k == 0
+            else [
+                generate_fake_events(
+                    N, height=H, width=W, duration_us=1_000_000,
+                    seed=1000 * k + i,
+                )
+                for i in range(B)
+            ]
+        )
+        all_batches.append(stack_blocks([from_structured(e, N) for e in evs_k]))
+    stacked = jax.device_put(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *all_batches)
+    )
 
     @jax.jit
-    def fn(blocks):
-        def body(acc, _):
+    def fn(stacked):
+        def body(acc, blocks):
             return acc + jnp.sum(rep_fn(blocks)), None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=INNER_ITERS)
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
         return acc
 
-    float(fn(batch))  # compile + warm
+    float(fn(stacked))  # compile + warm
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        checksum = float(fn(batch))
-    dt = (time.perf_counter() - t0) / (iters * INNER_ITERS)
+        checksum = float(fn(stacked))
+    dt = (time.perf_counter() - t0) / (iters * K_BLOCKS)
     assert np.isfinite(checksum)
     device_eps = B * N / dt
 
@@ -89,19 +106,19 @@ def main():
         tore_fn = batched_representation("TORE", H, W)
 
         @jax.jit
-        def tore_loop(blocks):
-            def body(acc, _):
+        def tore_loop(stacked):
+            def body(acc, blocks):
                 r = tore_fn(blocks)
                 return acc + jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0)), None
 
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=INNER_ITERS)
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
             return acc
 
-        float(tore_loop(batch))
+        float(tore_loop(stacked))
         t0 = time.perf_counter()
         for _ in range(iters):
-            float(tore_loop(batch))
-        dt_tore = (time.perf_counter() - t0) / (iters * INNER_ITERS)
+            float(tore_loop(stacked))
+        dt_tore = (time.perf_counter() - t0) / (iters * K_BLOCKS)
         result["tore_events_per_s"] = round(B * N / dt_tore)
         result["tore_ms_per_batch"] = round(dt_tore * 1e3, 2)
     except Exception as e:  # pragma: no cover
