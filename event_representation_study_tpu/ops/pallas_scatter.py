@@ -47,6 +47,42 @@ E_CHUNK = 128
 NEG_INF = -3.4e38
 
 
+def _kernel_sum_only(offs_ref, seg_ref, vsum_ref, out_sum_ref):
+    """Sum-columns-only variant: histogram/voxel-style reps have no max
+    columns, and the dummy NEG_INF stream + per-chunk masked-max pass cost
+    ~10-15% of their build time."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    num_t = pl.num_programs(1)
+    start = offs_ref[b * (num_t + 1) + t]
+    end = offs_ref[b * (num_t + 1) + t + 1]
+
+    ks = vsum_ref.shape[1]
+    tile_base = t * TILE_S
+    acc_sum = jnp.zeros((ks, TILE_S), jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (E_CHUNK, TILE_S), 1)
+    start_aligned = pl.multiple_of((start // E_CHUNK) * E_CHUNK, E_CHUNK)
+
+    def body(carry):
+        c, acc_sum = carry
+        c = pl.multiple_of(c, E_CHUNK)
+        seg = seg_ref[0, 0, pl.ds(c, E_CHUNK)]
+        vs = vsum_ref[0, :, pl.ds(c, E_CHUNK)]
+        rel = seg.reshape(E_CHUNK, 1) - tile_base
+        oh_f = (rel == col_ids).astype(jnp.float32)
+        acc_sum = acc_sum + jax.lax.dot_general(
+            vs, oh_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return c + E_CHUNK, acc_sum
+
+    _, acc_sum = jax.lax.while_loop(
+        lambda carry: carry[0] < end, body, (start_aligned, acc_sum)
+    )
+    out_sum_ref[0, :, :] = acc_sum
+
+
 def _kernel(offs_ref, seg_ref, vsum_ref, vmax_ref, out_sum_ref, out_max_ref):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -120,22 +156,42 @@ def fused_segment_reduce(
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
     sorted_ops = jax.lax.sort((seg, pos) + tuple(carry), num_keys=2, is_stable=False)
     seg_s, pos_s = sorted_ops[0], sorted_ops[1]
-    vs_t, vm_t = columns_fn(pos_s, *sorted_ops[2:])  # (B, Ks, N), (B, Km, N)
+    vs_t, vm_t = columns_fn(pos_s, *sorted_ops[2:])  # (B, Ks, N), (B, Km, N)|None
     ks = vs_t.shape[1]
-    km = vm_t.shape[1]
+    km = 0 if vm_t is None else vm_t.shape[1]
 
     # pad the event axis so aligned in-kernel chunk reads never run off the end
     n_pad = ((N + E_CHUNK - 1) // E_CHUNK) * E_CHUNK + E_CHUNK
     pad = n_pad - N
     seg_s = jnp.pad(seg_s, ((0, 0), (0, pad)), constant_values=num_segments)
     vs_t = jnp.pad(vs_t, ((0, 0), (0, 0), (0, pad)))
-    vm_t = jnp.pad(vm_t, ((0, 0), (0, 0), (0, pad)), constant_values=NEG_INF)
+    if km:
+        vm_t = jnp.pad(vm_t, ((0, 0), (0, 0), (0, pad)), constant_values=NEG_INF)
 
     # 2. per-tile event ranges
     bases = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE_S
     bases = bases.at[-1].set(num_segments)
     offs = jax.vmap(lambda s: jnp.searchsorted(s, bases, side="left"))(seg_s)
     offs = offs.astype(jnp.int32).reshape(-1)  # (B*(T+1),)
+
+    if km == 0:
+        # sum-only fast path (columns_fn returned vm=None)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, num_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, n_pad), lambda b, t, offs: (b, 0, 0)),
+                pl.BlockSpec((1, ks, n_pad), lambda b, t, offs: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, ks, TILE_S), lambda b, t, offs: (b, 0, t)),
+        )
+        sums = pl.pallas_call(
+            _kernel_sum_only,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, ks, s_pad), jnp.float32),
+            interpret=interpret,
+        )(offs, seg_s[:, None, :], vs_t)
+        return jnp.swapaxes(sums, 1, 2)[:, :num_segments], None
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -144,7 +144,7 @@ def _mdes_columns(plan, num, t0, span, any_neg, stacking):
             m = selector(f, w, p_i, wm(w))
             vm.append(jnp.where(m, value(f, t_s, p_i), NEG_INF))
         if not vm:
-            vm = [jnp.full_like(t_s, NEG_INF)]
+            return jnp.stack(vs, axis=1), None  # sum-only kernel path
         return jnp.stack(vs, axis=1), jnp.stack(vm, axis=1)
 
     return columns_fn

@@ -49,8 +49,7 @@ def histogram_fused_batched(blocks, height: int, width: int, interpret: bool = F
         neg = (p_s <= 0).astype(jnp.float32)
         pos_p = (p_s > 0).astype(jnp.float32)
         vs = jnp.stack([neg, pos_p], axis=1)
-        vm = jnp.full((B, 1, N), NEG_INF)
-        return vs, vm
+        return vs, None  # sum-only kernel path
 
     sums, _ = fused_segment_reduce(seg, (p,), columns, S, interpret=interpret)
     return sums.reshape(B, height, width, 2)
@@ -81,8 +80,7 @@ def voxel_grid_fused_batched(blocks, height: int, width: int,
         for j in range(n_time_bins):
             cols.append(left * (ti == j) + right * (ti == j - 1))
         vs = jnp.stack(cols, axis=1)
-        vm = jnp.full((B, 1, N), NEG_INF)
-        return vs, vm
+        return vs, None  # sum-only kernel path
 
     sums, _ = fused_segment_reduce(seg, (t, p), columns, S, interpret=interpret)
     return sums.reshape(B, height, width, n_time_bins)
