@@ -9,24 +9,57 @@ reference-semantics ERGO-12 (reps/numpy_ref.py — the same math the reference
 executes per item), timed on this host; the candidate is the fused on-device
 kernel, batched, at Gen1 scale (50k events, 240x304, 12 channels).
 
-Prints ONE JSON line:
-  {"metric": "ergo12_rep_build_throughput", "value": <events/sec>,
-   "unit": "events/sec", "vs_baseline": <speedup over CPU reference path>}
+Output protocol (driver-capture-proof — round-2 lesson, BENCH_r02 rc=124):
+the FIRST line printed is the complete headline JSON, flushed immediately
+after the ERGO-12 measurement.  Every further metric (TORE, detector train
+steps, strong-aug step, eval decode+NMS) is emitted as its OWN JSON line,
+each gated by a wall-clock deadline (env BENCH_DEADLINE_S, default 420 s)
+with a per-section cost estimate: a section whose estimated cost does not
+fit in the remaining budget prints a {"skipped": ...} line instead of
+starting.  The LAST line repeats the headline object merged with every
+section result, so drivers that parse either the first or the last JSON
+line of stdout both capture the headline metric.  The detector sections
+(640^2 compiles take ~10 min each through the remote-compile tunnel) only
+run when BENCH_DEADLINE_S is raised (e.g. 3600) or scale is reduced via
+BENCH_DETECTOR_IMG/BENCH_DETECTOR_BATCH.
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+_T0 = time.monotonic()
+_DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE_S", 420))
+
+
+def _remaining():
+    return _DEADLINE - time.monotonic()
+
+
+def emit(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    try:  # local journal so a driver-side kill never loses a section
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_SECTIONS.jsonl"), "a") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    return obj
+
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from event_representation_study_tpu.events import (
         from_structured,
         generate_fake_events,
         stack_blocks,
     )
+    from event_representation_study_tpu.reps import batched_representation
     from event_representation_study_tpu.reps.numpy_ref import ergo12_np
 
     H, W, N, B = 240, 304, 50000, 32
@@ -45,10 +78,6 @@ def main():
     baseline_eps = N / cpu_time_per_item
 
     # --- device path: batched fused kernel
-    import jax.numpy as jnp
-
-    from event_representation_study_tpu.reps import batched_representation
-
     rep_fn = batched_representation("OptimizedRepresentation", H, W)
 
     # Scan over K DISTINCT stacked batches: a loop-INVARIANT scan body gets
@@ -94,64 +123,88 @@ def main():
     assert np.isfinite(checksum)
     device_eps = B * N / dt
 
-    result = {
+    headline = {
         "metric": "ergo12_rep_build_throughput",
         "value": round(device_eps),
         "unit": "events/sec",
         "vs_baseline": round(device_eps / baseline_eps, 2),
     }
+    # FIRST LINE — out before anything slow or fallible can starve it.
+    emit(headline)
 
-    # --- TORE throughput (the r1 straggler; now sort+scan+payload-scatter)
-    try:
-        tore_fn = batched_representation("TORE", H, W)
+    extras = {}
 
-        @jax.jit
-        def tore_loop(stacked):
-            def body(acc, blocks):
-                r = tore_fn(blocks)
-                return acc + jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0)), None
+    # --- optional sections, each its own budgeted JSON line ----------------
+    sections = [
+        # (name, est. cost s, thunk)
+        ("tore_throughput", 120, lambda: bench_tore(stacked, B, N)),
+        ("detector_train_steps", 1500, bench_detector_steps),
+        ("detector_aug_step", 800, bench_aug_step_section),
+        ("detector_eval", 500, bench_eval_section),
+    ]
+    for name, est, thunk in sections:
+        if _remaining() < est:
+            emit({"section": name, "skipped": True,
+                  "reason": f"estimated {est}s > {_remaining():.0f}s left "
+                            "(raise BENCH_DEADLINE_S to run)"})
+            continue
+        try:
+            res = thunk()
+            res["section"] = name
+            res["elapsed_s"] = round(time.monotonic() - _T0, 1)
+            emit(res)
+            extras.update({k: v for k, v in res.items()
+                           if k not in ("section", "elapsed_s")})
+        except Exception as e:  # never break remaining sections
+            emit({"section": name,
+                  "error": f"{type(e).__name__}: {e}"[:300]})
 
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
-            return acc
+    # LAST LINE — headline again, merged with whatever sections landed.
+    final = dict(headline)
+    final.update(extras)
+    final["total_elapsed_s"] = round(time.monotonic() - _T0, 1)
+    emit(final)
 
+
+def bench_tore(stacked, B, N):
+    """TORE throughput (the r1 straggler; now sort+scan+payload-scatter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.reps import batched_representation
+
+    tore_fn = batched_representation("TORE", 240, 304)
+
+    @jax.jit
+    def tore_loop(stacked):
+        def body(acc, blocks):
+            r = tore_fn(blocks)
+            return acc + jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
+        return acc
+
+    K_BLOCKS = jax.tree.leaves(stacked)[0].shape[0]
+    float(tore_loop(stacked))
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
         float(tore_loop(stacked))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            float(tore_loop(stacked))
-        dt_tore = (time.perf_counter() - t0) / (iters * K_BLOCKS)
-        result["tore_events_per_s"] = round(B * N / dt_tore)
-        result["tore_ms_per_batch"] = round(dt_tore * 1e3, 2)
-    except Exception as e:  # pragma: no cover
-        result["tore_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    # --- detector training-step benchmark (paper model, bf16 vs f32) -----
-    # The reference publishes no step-time numbers; this records ours so the
-    # bf16 path is exercised and regression-tracked (VERDICT r1 item 8).
-    try:
-        result.update(bench_detector_steps())
-    except Exception as e:  # never break the headline metric line
-        result["detector_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    print(json.dumps(result))
+    dt = (time.perf_counter() - t0) / (iters * K_BLOCKS)
+    return {
+        "tore_events_per_s": round(B * N / dt),
+        "tore_ms_per_batch": round(dt * 1e3, 2),
+    }
 
 
-def bench_detector_steps():
-    """Fused train-step time at paper config (YOLOv6-L6-class, 640x640) for
-    bf16 and f32 compute; batch/img overridable via env for small hosts."""
+def _detector_fixture():
     import functools
     import os
 
     import jax
     import jax.numpy as jnp
 
-    from event_representation_study_tpu.models import build_model
-    from event_representation_study_tpu.parallel.train_step import (
-        Batch,
-        init_train_state,
-        make_train_step,
-    )
-    from event_representation_study_tpu.train.losses import LossConfig
-    from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
+    from event_representation_study_tpu.parallel.train_step import Batch
     from event_representation_study_tpu.utils.config import load_config
 
     B = int(os.environ.get("BENCH_DETECTOR_BATCH", 8))
@@ -175,13 +228,32 @@ def bench_detector_steps():
         gt_bboxes=jnp.asarray(gt_b),
         gt_mask=jnp.asarray(gm),
     )
+    return cfg, B, S, imgs, batch
+
+
+def bench_detector_steps():
+    """Fused train-step time at paper config (YOLOv6-L6-class, 640x640) for
+    bf16 and f32 compute; batch/img overridable via env for small hosts."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
+
+    cfg, B, S, imgs, batch = _detector_fixture()
 
     out = {}
-    try:
-        out.update(_bench_aug_step(cfg, B, S))
-    except Exception as e:  # keep the plain step metrics alive
-        out["detector_aug_error"] = f"{type(e).__name__}: {e}"[:200]
     for name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        if name == "f32" and _remaining() < 700:
+            out["detector_f32_skipped"] = True
+            break
         model = build_model(cfg, num_classes=2, dtype=dtype)
         solver = SolverConfig(steps_per_epoch=100, epochs=10, batch_size=B)
         tx = build_optimizer(
@@ -207,19 +279,16 @@ def bench_detector_steps():
         out[f"detector_train_step_ms_{name}"] = round(dt * 1e3, 2)
         out[f"detector_imgs_per_s_{name}"] = round(B / dt, 1)
         del state, step
-    if out.get("detector_train_step_ms_bf16"):
+    if out.get("detector_train_step_ms_bf16") and out.get(
+            "detector_train_step_ms_f32"):
         out["bf16_speedup"] = round(
             out["detector_train_step_ms_f32"]
             / out["detector_train_step_ms_bf16"], 2,
         )
-    try:
-        out.update(_bench_eval(cfg, B, S))
-    except Exception as e:
-        out["eval_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
-def _bench_eval(cfg, B, S):
+def bench_eval_section():
     """Warm eval path: jitted forward (eval decode) + fixed-shape NMS — the
     reference's speed task slots (evaler.py:138-177) measured on TPU."""
     import functools
@@ -230,11 +299,11 @@ def _bench_eval(cfg, B, S):
     from event_representation_study_tpu.models import build_model
     from event_representation_study_tpu.ops.nms import non_max_suppression
 
+    cfg, B, S, imgs, _ = _detector_fixture()
+
     # f32: the bf16 eval-decode graph exceeds the remote compiler's request
     # size limit through the axon tunnel (HTTP 413 / broken pipe)
     model = build_model(cfg, num_classes=2)
-    rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.uniform(0, 1, (B, S, S, 12)), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(
         jax.random.PRNGKey(0), imgs
     )
@@ -260,14 +329,13 @@ def _bench_eval(cfg, B, S):
     return {"eval_infer_nms_ms_per_img": round(dt / B * 1e3, 2)}
 
 
-def _bench_aug_step(cfg, B, S):
+def bench_aug_step_section():
     """Full strong-aug train step: raw events -> fused rep -> mosaic/affine/
     mixup warp (ops/warp.py routed single-gather) -> detector -> update. The
     reference pays this in CPU workers (cv2 warps, data_augment.py); here it
     is part of the one fused device program, so its cost shows up in step
     time and is regression-tracked."""
     import functools
-    import os
 
     import jax
     import jax.numpy as jnp
@@ -287,6 +355,11 @@ def _bench_aug_step(cfg, B, S):
     )
     from event_representation_study_tpu.train.losses import LossConfig
     from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
+    from event_representation_study_tpu.utils.config import load_config
+
+    B = int(os.environ.get("BENCH_DETECTOR_BATCH", 8))
+    S = int(os.environ.get("BENCH_DETECTOR_IMG", 640))
+    cfg = load_config("configs/gen1_optimized.py")
 
     H, W, N, M = 240, 304, 50000, 8
     rng = np.random.default_rng(0)
