@@ -64,7 +64,11 @@ class Gen1H5:
             raise RuntimeError("h5py is required for Gen1H5")
         root = pathlib.Path(root)
         path = root / SPLIT_FILES[task.lower()] if root.is_dir() else root
-        self.h5 = h5py.File(path, "r")
+        # the published split files are Blosc-ZSTD compressed (gen1_2yolo.py:12
+        # imports hdf5plugin); open_h5 decodes those chunks even without it
+        from ..events import blosc_codec
+
+        self.h5 = blosc_codec.open_h5(path, "r")
         self.task = task
         self.num_events = num_events
         self.max_boxes = max_boxes
@@ -173,14 +177,34 @@ def write_gen1_fixture(
     width: int = 304,
     seed: int = 0,
     learnable: bool = False,
+    blosc: bool = False,
 ):
     """Synthetic Gen1-layout HDF5 for tests.
 
     ``learnable=True`` correlates events with the labels: a dense cluster of
     events is relocated into each box in the window preceding its timestamp
     (class 0 only), so a detector trained on the fixture has signal to learn
-    from — the stand-in for real-data training runs."""
+    from — the stand-in for real-data training runs.
+
+    ``blosc=True`` compresses the event/bbox arrays with the exact flags the
+    published files use (filter 32001, zstd, bit-shuffle, clevel 1 —
+    gen4/precompute_reps.py:31-48) so tests cover the real on-disk format."""
     from ..events.fake import generate_fake_events
+
+    if blosc:
+        from ..events import blosc_codec
+
+        def _store(group, key, arr):
+            arr = np.ascontiguousarray(arr)
+            ds = blosc_codec.create_blosc_dataset(
+                group, key, arr.shape, arr.dtype,
+                chunks=(min(max(len(arr), 1), 1 << 13),),
+            )
+            blosc_codec.write_blosc(ds, arr)
+    else:
+
+        def _store(group, key, arr):
+            group[key] = arr
 
     rng = np.random.default_rng(seed)
     with h5py.File(path, "w") as f:
@@ -227,18 +251,18 @@ def write_gen1_fixture(
                     )
 
             ge = g.create_group("events")
-            ge["x"], ge["y"], ge["t"], ge["p"] = (
-                x.astype(np.uint16), y.astype(np.uint16), t.astype(np.int64),
-                p.astype(np.int8),
-            )
+            _store(ge, "x", x.astype(np.uint16))
+            _store(ge, "y", y.astype(np.uint16))
+            _store(ge, "t", t.astype(np.int64))
+            _store(ge, "p", p.astype(np.int8))
             ge["height"], ge["width"] = height, width
             gb = g.create_group("bbox")
             for k, v in gb_data.items():
-                gb[k] = v
-            gb["class_id"] = cls.astype(np.int64)
-            gb["x"] = bx.astype(np.float32)
-            gb["y"] = by.astype(np.float32)
-            gb["w"] = bw.astype(np.float32)
-            gb["h"] = bh.astype(np.float32)
-            gb["event_idx"] = event_idx
+                _store(gb, k, v)
+            _store(gb, "class_id", cls.astype(np.int64))
+            _store(gb, "x", bx.astype(np.float32))
+            _store(gb, "y", by.astype(np.float32))
+            _store(gb, "w", bw.astype(np.float32))
+            _store(gb, "h", bh.astype(np.float32))
+            _store(gb, "event_idx", event_idx)
     return path

@@ -61,6 +61,23 @@ def filter_boxes(boxes: np.ndarray, min_box_diag: float = 60, min_box_side: floa
     return boxes[mask]
 
 
+def _store(group, key, arr):
+    """Blosc-ZSTD bit-shuffle dataset when a codec is available (the
+    reference consolidation's H5_BLOSC_COMPRESSION_FLAGS,
+    precompute_reps.py:31-48), plain otherwise."""
+    from ..events import blosc_codec
+
+    arr = np.ascontiguousarray(arr)
+    if arr.ndim == 1 and len(arr) and blosc_codec.available():
+        ds = blosc_codec.create_blosc_dataset(
+            group, key, arr.shape, arr.dtype,
+            chunks=(min(len(arr), 1 << 16),),
+        )
+        blosc_codec.write_blosc(ds, arr)
+    else:
+        group[key] = arr
+
+
 def _write_recording(f, i, x, y, t, p, boxes, height, width, max_class_id):
     """One Gen1-layout recording group: filtered events + timestamp-grouped
     boxes (the write side of precompute_reps.py:253-310 toh5pyfiles)."""
@@ -72,10 +89,10 @@ def _write_recording(f, i, x, y, t, p, boxes, height, width, max_class_id):
 
     g = f.create_group(f"rec{i:05d}")
     ge = g.create_group("events")
-    ge["x"] = x.astype(np.uint16)
-    ge["y"] = y.astype(np.uint16)
-    ge["t"] = t.astype(np.int64)
-    ge["p"] = np.where(p > 0, 1, -1).astype(np.int8)
+    _store(ge, "x", x.astype(np.uint16))
+    _store(ge, "y", y.astype(np.uint16))
+    _store(ge, "t", t.astype(np.int64))
+    _store(ge, "p", np.where(p > 0, 1, -1).astype(np.int8))
     ge["height"], ge["width"] = height, width
 
     # group boxes by unique timestamp like the Gen1 layout
@@ -87,14 +104,14 @@ def _write_recording(f, i, x, y, t, p, boxes, height, width, max_class_id):
     offsets = np.cumsum(counts)
     event_idx = np.searchsorted(t, t_unique, side="right")
     gb = g.create_group("bbox")
-    gb["t_unique"] = t_unique.astype(np.int64)
-    gb["offsets"] = offsets.astype(np.int64)
-    gb["class_id"] = boxes[:, 5].astype(np.int64)
-    gb["x"] = boxes[:, 1].astype(np.float32)
-    gb["y"] = boxes[:, 2].astype(np.float32)
-    gb["w"] = boxes[:, 3].astype(np.float32)
-    gb["h"] = boxes[:, 4].astype(np.float32)
-    gb["event_idx"] = event_idx.astype(np.int64)
+    _store(gb, "t_unique", t_unique.astype(np.int64))
+    _store(gb, "offsets", offsets.astype(np.int64))
+    _store(gb, "class_id", boxes[:, 5].astype(np.int64))
+    _store(gb, "x", boxes[:, 1].astype(np.float32))
+    _store(gb, "y", boxes[:, 2].astype(np.float32))
+    _store(gb, "w", boxes[:, 3].astype(np.float32))
+    _store(gb, "h", boxes[:, 4].astype(np.float32))
+    _store(gb, "event_idx", event_idx.astype(np.int64))
 
 
 def consolidate_npz(

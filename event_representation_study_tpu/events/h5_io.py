@@ -2,8 +2,10 @@
 (ev-licious/src/evlicious/io/): the canonical ``events/{x,y,t,p,height,
 width,divider}`` layout (h5_event_handle.py:16-23), time/index range
 queries via searchsorted (:10-11,:44-66), an incremental writer
-(h5_writer.py:29-67; Blosc-ZSTD when hdf5plugin is available, gzip
-otherwise), and suffix-dispatched loading (io/__init__.py:22-39).
+(h5_writer.py:29-67) with the reference's Blosc-ZSTD bit-shuffle chunks
+(written through ``blosc_codec`` when ``hdf5plugin`` is absent — the
+published Gen1/Gen4 files use HDF5 filter 32001 and are unreadable by stock
+h5py), and suffix-dispatched loading (io/__init__.py:22-39).
 """
 from __future__ import annotations
 
@@ -17,21 +19,23 @@ try:
 except ImportError:  # pragma: no cover
     h5py = None
 
+from . import blosc_codec
+from .core import normalize_polarity
+
 try:
     import hdf5plugin
 
-    _COMPRESSION = dict(hdf5plugin.Blosc(cname="zstd", clevel=5))
+    _COMPRESSION = dict(hdf5plugin.Blosc(cname="zstd", clevel=1, shuffle=2))
 except ImportError:
-    _COMPRESSION = dict(compression="gzip", compression_opts=4)
-
-from .core import normalize_polarity
+    _COMPRESSION = None  # route through blosc_codec (or gzip if no lib)
 
 
 class H5EventHandle:
-    """Read handle over the canonical layout."""
+    """Read handle over the canonical layout (Blosc chunks decoded
+    transparently via blosc_codec.open_h5 when no HDF5 plugin exists)."""
 
     def __init__(self, path):
-        self.f = h5py.File(path, "r")
+        self.f = blosc_codec.open_h5(path, "r")
         g = self.f["events"]
         assert all(k in g for k in ("x", "y", "t", "p")), "not an events file"
         self.height = int(g["height"][()]) if "height" in g else int(g["y"][:].max()) + 1
@@ -79,20 +83,42 @@ class H5EventHandle:
 
 
 class H5Writer:
-    """Incremental appender (h5_writer.py:29-67) with compressed chunks."""
+    """Incremental appender (h5_writer.py:29-67) writing the reference's
+    Blosc-ZSTD bit-shuffle chunks (compression=32001, opts (0,0,0,0,1,2,5) —
+    h5_writer.py:8-28): via hdf5plugin when importable, else direct-chunk
+    frames through blosc_codec.BloscAppender; plain gzip only when no blosc
+    codec exists at all."""
 
     def __init__(self, path, height: int, width: int):
         self.f = h5py.File(path, "w")
         g = self.f.create_group("events")
         self._ds = {}
-        for name, dtype in (("x", np.uint16), ("y", np.uint16), ("t", np.int64), ("p", np.int8)):
-            self._ds[name] = g.create_dataset(
-                name, shape=(0,), maxshape=(None,), dtype=dtype,
-                chunks=(1 << 16,), **_COMPRESSION,
-            )
+        self._appenders = {}
+        fields = (("x", np.uint16), ("y", np.uint16), ("t", np.int64), ("p", np.int8))
+        if _COMPRESSION is not None:  # hdf5plugin present
+            for name, dtype in fields:
+                self._ds[name] = g.create_dataset(
+                    name, shape=(0,), maxshape=(None,), dtype=dtype,
+                    chunks=(1 << 16,), **_COMPRESSION,
+                )
+        elif blosc_codec.available():
+            for name, dtype in fields:
+                self._appenders[name] = blosc_codec.BloscAppender(
+                    g, name, dtype, chunk=1 << 16
+                )
+        else:  # pragma: no cover - neither libblosc/libzstd nor hdf5plugin
+            for name, dtype in fields:
+                self._ds[name] = g.create_dataset(
+                    name, shape=(0,), maxshape=(None,), dtype=dtype,
+                    chunks=(1 << 16,), compression="gzip", compression_opts=4,
+                )
         g["height"], g["width"], g["divider"] = height, width, 1
 
     def add(self, x, y, t, p):
+        if self._appenders:
+            for name, arr in (("x", x), ("y", y), ("t", t), ("p", p)):
+                self._appenders[name].append(arr)
+            return
         n0 = self._ds["x"].shape[0]
         n1 = n0 + len(x)
         for name, arr in (("x", x), ("y", y), ("t", t), ("p", p)):
@@ -100,6 +126,8 @@ class H5Writer:
             self._ds[name][n0:n1] = arr
 
     def close(self):
+        for app in self._appenders.values():
+            app.close()
         self.f.close()
 
     def __enter__(self):
@@ -116,7 +144,7 @@ def load_events_from_path(path) -> np.ndarray:
         h = H5EventHandle(path)
         out = h.get_between_idx(0, len(h))
         h.close()
-        return out
+        return out  # Blosc chunks handled inside H5EventHandle
     if path.suffix == ".npz":
         fh = np.load(path)
         key = "event_data" if "event_data" in fh else list(fh.keys())[0]
