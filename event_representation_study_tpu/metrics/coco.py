@@ -41,7 +41,10 @@ def _iou_matrix(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
     inter = wh[..., 0] * wh[..., 1]
     a_dt = (dt[:, 2] - dt[:, 0]) * (dt[:, 3] - dt[:, 1])
     a_gt = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
-    return inter / (a_dt[:, None] + a_gt[None, :] - inter + 1e-12)
+    union = a_dt[:, None] + a_gt[None, :] - inter
+    # no epsilon: an IoU of exactly t must match at threshold t
+    # (maskUtils.iou divides exactly; epsilon would push 0.5 below 0.5)
+    return np.where(union > 0, inter / np.maximum(union, 1e-300), 0.0)
 
 
 @dataclasses.dataclass
@@ -87,7 +90,9 @@ class CocoEvaluator:
                     # match non-ignored gts first (COCO sorts ignored last)
                     gt_order = np.argsort(gt_ig, kind="mergesort")
                     for di in range(D):
-                        best, best_iou = -1, thr - 1e-10
+                        # COCOeval starts at min(t, 1-1e-10) and keeps
+                        # ious >= that (evaluateImg: `if ious < iou: continue`)
+                        best, best_iou = -1, min(thr, 1.0 - 1e-10)
                         for gi in gt_order:
                             if gt_used[gi]:
                                 continue
