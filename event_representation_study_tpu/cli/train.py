@@ -51,6 +51,26 @@ def get_args_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--override", nargs="*", default=[],
                    help="dotted-key config overrides, e.g. model.depth_multiple=0.5")
+    # distillation / fuse_ab / PTQ (tools/train.py:140-161, 258-259)
+    p.add_argument("--fuse-ab", action="store_true",
+                   help="add the anchor-base auxiliary training branch "
+                        "(fuse_ab head; engine.py:242-256)")
+    p.add_argument("--distill", action="store_true",
+                   help="knowledge distillation against a frozen teacher "
+                        "(engine.py:226-241); excludes --fuse-ab")
+    p.add_argument("--distill-feat", action="store_true",
+                   help="also distill feature maps (channel-wise KD)")
+    p.add_argument("--temperature", type=float, default=20.0,
+                   help="distillation temperature (train.py:150)")
+    p.add_argument("--teacher-ckpt", type=str, default=None,
+                   help="teacher checkpoint (train ckpt or stripped deploy "
+                        "ckpt; the reference's --teacher_model_path)")
+    p.add_argument("--quant", action="store_true",
+                   help="PTQ mode (with --calib: calibrate and exit, "
+                        "train.py:144-145)")
+    p.add_argument("--calib", action="store_true",
+                   help="run in-trainer PTQ calibration then exit "
+                        "(engine.py:916-942)")
     return p
 
 
@@ -89,6 +109,12 @@ def main(args=None):
         plot_images=args.plot_images,
         partner_pool=args.partner_pool,
         steps_per_dispatch=args.steps_per_dispatch,
+        fuse_ab=args.fuse_ab,
+        distill=args.distill,
+        distill_feat=args.distill_feat,
+        temperature=args.temperature,
+        teacher_ckpt=args.teacher_ckpt,
+        quant_calib=bool(args.quant and args.calib),
     )
     ckpt = args.checkpoint
     if args.resume is not None and ckpt is None:

@@ -258,8 +258,23 @@ def build_model(
             "fuseab" if fuse_ab else "distill_ns" if distill_ns else "effidehead"
         ),
         anchors_init=(
-            tuple(tuple(a) for a in hd["anchors"])
-            if fuse_ab and isinstance(hd.get("anchors"), (list, tuple))
+            tuple(tuple(a) for a in hd["anchors_init"])
+            if fuse_ab and isinstance(hd.get("anchors_init"), (list, tuple))
+            else _default_anchors(hd.get("strides", (8, 16, 32, 64)))
+            if fuse_ab
             else None
         ),
+    )
+
+
+def _default_anchors(strides):
+    """Per-level wh anchor priors for the fuse_ab auxiliary branch when the
+    experiment config is anchor-free (the study's configs set anchors=1;
+    the reference's fuse_ab configs carry explicit anchors_init lists, e.g.
+    yolov6n.py). Three priors per level at 2.5/5/8x the stride — train-time
+    initialization only (wh = (2*sigmoid)^2 * anchor, effidehead_fuseab.py:
+    151-154); the deployed decode is the anchor-free branch either way."""
+    return tuple(
+        (2.5 * s, 2.5 * s, 5.0 * s, 4.0 * s, 8.0 * s, 7.0 * s)
+        for s in strides
     )

@@ -24,6 +24,7 @@ from ..ops.warp import AugPlan, compose_warp
 from ..reps.dispatch import batched_representation, build_representation
 from ..train.ema import EMAState, ema_init, ema_update
 from ..train.losses import LossConfig, detection_loss
+from ..train.losses_variants import detection_loss_distill, detection_loss_fuseab
 from ..train.optim import SolverConfig, build_optimizer
 
 
@@ -58,10 +59,22 @@ def make_train_step(
     img_size: int = 640,
     donate: bool = True,
     _jit: bool = True,
+    mode: str = "plain",  # "plain" | "fuseab" | "distill" (engine.py:226-256)
+    teacher: Optional[Tuple[Any, Any]] = None,  # (model, variables) for distill
+    max_epoch: int = 300,
+    temperature: float = 20.0,
+    distill_feat: bool = False,
 ) -> Callable:
     """Build the fused train step. If ``representation`` is given, the step
     consumes raw event blocks and builds the representation on device
-    (eliminating the reference's CPU worker path, gen1_2yolo.py:287-304)."""
+    (eliminating the reference's CPU worker path, gen1_2yolo.py:287-304).
+
+    ``mode='fuseab'`` expects a fuse_ab-headed model (train outputs
+    (feats, cls_ab, reg_ab, cls_af, reg_af)) and adds the anchor-base
+    auxiliary loss (engine.py:242-256). ``mode='distill'`` runs the frozen
+    teacher forward inside the same program and optimizes the distillation
+    objective (engine.py:226-241); the reference forbids combining the two
+    (engine.py:78-80)."""
 
     H, W = rep_hw
     learned = representation == "LearnedRepresentation"
@@ -94,24 +107,54 @@ def make_train_step(
             img = img[: batch.gt_labels.shape[0]]
         return img / 255.0
 
+    assert mode in ("plain", "fuseab", "distill")
+    assert not (mode == "distill" and teacher is None), "distill needs a teacher"
+
     def loss_fn(params, batch_stats, batch: Batch, epoch):
         imgs = images_of(batch)
-        (feats, cls, reg), updates = model.apply(
+        outputs, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             imgs,
             True,
             mutable=["batch_stats"],
         )
-        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
-        loss, parts = detection_loss(
-            (feats, cls, reg),
-            batch.gt_labels,
-            batch.gt_bboxes,
-            batch.gt_mask,
-            feat_shapes,
-            epoch,
-            loss_cfg,
-        )
+        gt = (batch.gt_labels, batch.gt_bboxes, batch.gt_mask)
+        if mode == "fuseab":
+            feats, cls_ab, reg_ab, cls, reg = outputs
+            feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            # af loss on (preds[0], preds[3], preds[4]) + ab loss on
+            # preds[:3], summed (engine.py:242-256)
+            loss, parts = detection_loss(
+                (feats, cls, reg), *gt, feat_shapes, epoch, loss_cfg
+            )
+            na = len(model.anchors_init[0]) // 2 if model.anchors_init else 1
+            loss_ab, parts_ab = detection_loss_fuseab(
+                cls_ab, reg_ab, *gt, feat_shapes, loss_cfg, na=na
+            )
+            loss = loss + loss_ab
+            parts = dict(parts, **parts_ab)
+        elif mode == "distill":
+            # plain head: (feats, cls, reg); distill_ns student head adds the
+            # extra DFL-dist conv last: (feats, cls, reg_lrtb, reg_dist) —
+            # index from the ends so both unpack (effidehead_distill_ns.py)
+            feats, cls, reg = outputs[0], outputs[1], outputs[-1]
+            feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            t_model, t_vars = teacher
+            t_out = t_model.apply(t_vars, imgs, True, mutable=["batch_stats"])[0]
+            # teacher train-mode outputs; distill_ns heads add reg_dist last
+            t_feats, t_cls, t_dist = t_out[0], t_out[-2], t_out[-1]
+            t_outputs = jax.lax.stop_gradient((t_feats, t_cls, t_dist))
+            loss, parts = detection_loss_distill(
+                (feats, cls, reg), t_outputs, *gt, feat_shapes, epoch,
+                max_epoch, loss_cfg, temperature=temperature,
+                distill_feat=distill_feat,
+            )
+        else:
+            feats, cls, reg = outputs
+            feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            loss, parts = detection_loss(
+                (feats, cls, reg), *gt, feat_shapes, epoch, loss_cfg
+            )
         return loss, (parts, updates["batch_stats"])
 
     def train_step(state: TrainState, batch: Batch, epoch):
@@ -153,6 +196,12 @@ def make_multi_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def multi_step(state: TrainState, batches: Batch, epoch):
+        for leaf in jax.tree.leaves(batches):
+            assert leaf.shape[0] == k, (
+                f"stacked batch has leading dim {leaf.shape[0]}, expected "
+                f"steps_per_dispatch={k}"
+            )
+
         def body(st, b):
             return step(st, b, epoch)
 

@@ -67,6 +67,19 @@ def restore_train_state(path, state, epoch: int = 0):
     return restored, int(ckpt["epoch"]) + 1
 
 
+def load_teacher_variables(path):
+    """Model variables for a frozen distillation teacher (engine.py:660-673
+    load_state_dict): accepts a full train checkpoint (uses the EMA
+    variables, like eval does) or a stripped deploy checkpoint."""
+    ckpt = load_checkpoint(path)
+    if "variables" in ckpt:  # stripped (strip_optimizer output)
+        return ckpt["variables"]
+    state = ckpt["state"]
+    if "ema" in state and state["ema"].get("variables") is not None:
+        return state["ema"]["variables"]
+    return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+
+
 def strip_optimizer(path, out_path):
     """Keep only the EMA variables (deploy checkpoint),
     like checkpoint.py:50-64."""

@@ -61,7 +61,16 @@ class Trainer:
         plot_images: bool = False,
         partner_pool: int = 0,
         steps_per_dispatch: int = 1,
+        fuse_ab: bool = False,
+        distill: bool = False,
+        distill_feat: bool = False,
+        temperature: float = 20.0,
+        teacher_ckpt: Optional[str] = None,
+        quant_calib: bool = False,
     ):
+        if distill and fuse_ab:
+            # engine.py:78-80: "Distill models should turn off the fuse_ab"
+            raise ValueError("distill and fuse_ab are mutually exclusive")
         self.cfg = cfg
         self.epochs = epochs
         self.img_size = img_size
@@ -101,9 +110,44 @@ class Trainer:
                 "strong aug warps representation images; the learned "
                 "representation consumes raw events (use flips only)"
             )
+        # distill_ns heads only for the nano/small model families
+        # (engine.py:69-73)
+        self.distill_ns = bool(
+            distill and cfg["model"].get("type") in ("YOLOv6n", "YOLOv6s")
+        )
         self.model = build_model(
             cfg, num_classes=nc, representation=self.representation,
-            img_size=img_size,
+            img_size=img_size, fuse_ab=fuse_ab, distill_ns=self.distill_ns,
+        )
+        # frozen teacher: same config, plain head, BN in batch-stat mode with
+        # updates discarded (get_teacher_model, engine.py:660-673)
+        self.teacher = None
+        if distill:
+            t_model = build_model(
+                cfg, num_classes=nc, representation=self.representation,
+                img_size=img_size,
+            )
+            if teacher_ckpt:
+                from .checkpoint import load_teacher_variables
+
+                t_vars = load_teacher_variables(teacher_ckpt)
+            else:
+                LOGGER.warning(
+                    "distill without --teacher-ckpt: teacher uses a fresh "
+                    "init (fixture/debug mode only)"
+                )
+                import functools as _ft
+
+                dummy_t = jnp.zeros(
+                    (batch_size, img_size, img_size,
+                     REPRESENTATION_CHANNELS.get(self.representation, 12))
+                )
+                t_vars = jax.jit(_ft.partial(t_model.init, train=True))(
+                    jax.random.PRNGKey(seed + 1), dummy_t
+                )
+            self.teacher = (t_model, t_vars)
+        self.train_mode = (
+            "distill" if distill else "fuseab" if fuse_ab else "plain"
         )
         solver = cfg.get("solver", {})
         # gradient accumulation to the nominal effective batch
@@ -174,11 +218,18 @@ class Trainer:
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(seed), dummy
         )
-        self.train_step = make_train_step(
-            self.model, self.loss_cfg, self.tx,
+        step_kwargs = dict(
             representation=self.representation,
             rep_hw=(self.train_ds.height, self.train_ds.width),
             img_size=img_size,
+            mode=self.train_mode,
+            teacher=self.teacher,
+            max_epoch=epochs,
+            temperature=temperature,
+            distill_feat=distill_feat,
+        )
+        self.train_step = make_train_step(
+            self.model, self.loss_cfg, self.tx, **step_kwargs
         )
         # K steps per device dispatch (lax.scan): removes the per-step host
         # round trip; 1 = classic per-batch dispatch
@@ -188,10 +239,7 @@ class Trainer:
 
             self.multi_step = make_multi_train_step(
                 self.model, self.loss_cfg, self.tx,
-                self.steps_per_dispatch,
-                representation=self.representation,
-                rep_hw=(self.train_ds.height, self.train_ds.width),
-                img_size=img_size,
+                self.steps_per_dispatch, **step_kwargs,
             )
         self.evaler = Evaler(
             self.model, self.val_loader, nc, self.representation, img_size
@@ -210,6 +258,7 @@ class Trainer:
         self.log_interval = 200  # loss every 200 steps (engine.py:264-265)
         self.plot_images = plot_images
         self._plotted_train_batch = False
+        self.quant_calib = quant_calib
 
     def _shard(self, batch: Batch) -> Batch:
         s = data_sharding(self.mesh)
@@ -234,9 +283,74 @@ class Trainer:
             self.train_loader.hyp["mixup"] = 0.0
             LOGGER.info("epoch %d: strong aug (mosaic/mixup) stopped", epoch)
 
+    def calibrate(self, num_batches: int = 4, percentile: Optional[float] = None):
+        """In-trainer PTQ calibration (the reference's --quant --calib flow,
+        engine.py:916-942 + train.py:144-145,258-259: calibrate inside the
+        Trainer, save the calibrated checkpoint, and skip training).
+
+        Records per-level head-feature activation ranges over training
+        batches, fake-quantizes the weights (int8 per-channel), evaluates the
+        quantized model, and writes ``ptq_ckpt`` with {quantized params,
+        activation ranges, metrics}."""
+        import functools
+
+        from ..utils.quantize import (
+            calibrate_activations,
+            fake_quant_params,
+            quantize_params,
+        )
+
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        sensitive = set(
+            self.cfg.get("ptq", {}).get("sensitive_layers_skip", []) or []
+        )
+
+        def skip(name: str) -> bool:
+            return any(s in name for s in sensitive)
+
+        batches = []
+        for i, (batch, _) in enumerate(iter(self.train_loader)):
+            if i >= num_batches:
+                break
+            batches.append(batch)
+
+        fwd = jax.jit(
+            lambda v, ev: self.model.apply(v, self.evaler._images(ev) / 255.0,
+                                           False)
+        )
+
+        def apply_fn(v, batch):
+            # eval decode output per batch: calibrate the decoded head tensor
+            return {"head_out": fwd(v, batch.events)}
+
+        ranges = calibrate_activations(apply_fn, variables, batches,
+                                       percentile=percentile)
+        qparams, meta = quantize_params(self.state.params, skip=skip)
+        # measure the PTQ accuracy drop with fake-quant weights
+        fq = fake_quant_params(self.state.params, skip=skip)
+        stats = self.evaler.run({"params": fq,
+                                 "batch_stats": self.state.batch_stats})
+        LOGGER.info("PTQ calibrated: %d activation ranges, eval %s",
+                    len(ranges), stats)
+        save_checkpoint(
+            self.output_dir / "ptq_ckpt",
+            {"params": qparams, "batch_stats": self.state.batch_stats},
+            epoch=0,
+            extra={"activation_ranges": ranges,
+                   "metrics": {k: float(v) for k, v in stats.items()
+                               if isinstance(v, (int, float))}},
+        )
+        return ranges, stats
+
     def train(self):
         from ..parallel.mesh import device_prefetch
 
+        if getattr(self, "quant_calib", False):
+            # --quant --calib: calibrate-and-exit (train.py:258-259)
+            return self.calibrate()
         # one sync at entry (resume-aware), then host-side counting only
         self._host_step = int(self.state.step)
         with self.mesh:
@@ -313,7 +427,13 @@ class Trainer:
     def _train_epoch_scanned(self, epoch: int):
         """K-steps-per-dispatch epoch body: group loader batches, stack on
         host, one jitted lax.scan dispatch per group; the remainder (< K
-        batches) flushes through the per-batch step."""
+        batches) flushes through the per-batch step.
+
+        Known observability trade-offs vs the per-batch path (accepted for
+        the dispatch-overhead win): no plot_images train-batch mosaic, no
+        double-buffered prefetch (host stacking overlaps poorly with K-step
+        programs anyway), and remainder batches log only through the final
+        ``parts`` return, not the metric writer."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.train_step import stack_batches

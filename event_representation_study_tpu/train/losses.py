@@ -28,6 +28,18 @@ from .anchors import generate_anchors_train
 from .assigners import atss_assigner, task_aligned_assigner
 
 
+class LossAux(NamedTuple):
+    """Intermediates the distillation objective reuses (loss_distill.py
+    shares its assigner pass with the base loss)."""
+
+    raw_cls: jnp.ndarray  # unweighted scalars
+    raw_iou: jnp.ndarray
+    raw_dfl: jnp.ndarray
+    fg_mask: jnp.ndarray  # (B, A) bool
+    bbox_weight: jnp.ndarray  # (B, A)
+    denom: jnp.ndarray  # target-scores-sum guard
+
+
 class LossConfig(NamedTuple):
     num_classes: int
     strides: Tuple[int, ...] = (8, 16, 32, 64)
@@ -82,6 +94,7 @@ def detection_loss(
     feat_shapes: Sequence[Tuple[int, int]],
     epoch: jnp.ndarray,  # int scalar (traced) for ATSS warmup switch
     cfg: LossConfig,
+    return_aux: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     feats, pred_scores, pred_distri = outputs
     del feats
@@ -151,4 +164,10 @@ def detection_loss(
         "cls": cfg.weight_class * loss_cls,
         "num_pos": jnp.sum(fg_mask.astype(jnp.float32)),
     }
+    if return_aux:
+        aux = LossAux(
+            raw_cls=loss_cls, raw_iou=loss_iou, raw_dfl=loss_dfl,
+            fg_mask=fg_mask, bbox_weight=bbox_weight, denom=denom,
+        )
+        return loss, parts, aux
     return loss, parts

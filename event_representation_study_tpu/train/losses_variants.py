@@ -7,11 +7,13 @@ loss_distill_ns.py}.
   anchor-base xywh predictions (xy offsets added to the anchor centers,
   loss_fuseab.py:80-82), VarifocalLoss + IoU, no DFL (the ab branch predicts
   boxes directly).
-- :func:`distill_losses` — cls KL, positive-anchor DFL KL, channel-wise
-  feature KD (loss_distill.py:245-335, :489-500), with the reference's
-  temperature schedule helper.
-- :func:`detection_loss_distill` — base detection loss + weighted KD terms
-  (weights {class 1.0, iou 2.5, dfl 0.5, cwd 10.0}, loss_distill.py:29).
+- :func:`kd_cls_loss` / :func:`kd_dfl_loss` / :func:`kd_cw_loss` — cls KL,
+  positive-anchor DFL KL, channel-wise feature KD (loss_distill.py:281-340,
+  :444-500), reference-exact reductions.
+- :func:`detection_loss_distill` — base detection loss sharing its assigner
+  pass + cosine-decayed KD terms at fixed temperature
+  (weights {class 1.0, iou 2.5, dfl 0.5, cwd 10.0}, loss_distill.py:29-34,
+  :249-266).
 """
 from __future__ import annotations
 
@@ -94,57 +96,63 @@ def detection_loss_fuseab(
 # ---------------------------------------------------------------------------
 
 
-def distill_temperature(epoch, max_epoch: int, max_temp: float = 20.0):
-    """The reference decays KD temperature with training progress
-    (engine.py:238-241: temperature = max * (1 - epoch/max_epoch))."""
-    return max_temp * (1.0 - epoch.astype(jnp.float32) / max_epoch) + 1e-6
+def distill_weight_decay(epoch, max_epoch: int):
+    """Cosine decay 1 -> 0.01 applied to every KD term
+    (loss_distill.py:249-256: ((1-cos(e*pi/E))/2)*(0.01-1)+1)."""
+    e = jnp.asarray(epoch).astype(jnp.float32)
+    return ((1.0 - jnp.cos(e * jnp.pi / max_epoch)) / 2.0) * (0.01 - 1.0) + 1.0
 
 
 def kd_cls_loss(s_scores, t_scores, temperature):
-    """Class-KD: KL(softmax(t/T) || softmax(s/T)) * T^2 / N
-    (loss_distill.py:281-292). The heads emit sigmoid scores; KD runs on
-    their logits."""
-    eps = 1e-7
-    s_logit = jnp.log(jnp.clip(s_scores, eps, 1 - eps)) - jnp.log1p(
-        -jnp.clip(s_scores, eps, 1 - eps)
-    )
-    t_logit = jnp.log(jnp.clip(t_scores, eps, 1 - eps)) - jnp.log1p(
-        -jnp.clip(t_scores, eps, 1 - eps)
-    )
-    t_logit = jax.lax.stop_gradient(t_logit)
-    log_p_s = jax.nn.log_softmax(s_logit / temperature, axis=-1)
-    p_t = jax.nn.softmax(t_logit / temperature, axis=-1)
-    kl = jnp.sum(p_t * (jnp.log(jnp.clip(p_t, eps)) - log_p_s), axis=-1)
-    return jnp.sum(kl) * temperature**2 / s_scores.shape[0]
+    """Class-KD exactly as distill_loss_cls (loss_distill.py:281-292):
+    softmax over classes of the head's sigmoid scores divided by T,
+    KL(teacher || student) summed over all anchors x classes, times T^2."""
+    nc = s_scores.shape[-1]
+    s = s_scores.reshape(-1, nc)
+    t = jax.lax.stop_gradient(t_scores.reshape(-1, nc))
+    log_p_s = jax.nn.log_softmax(s / temperature, axis=-1)
+    p_t = jax.nn.softmax(t / temperature, axis=-1)
+    eps = 1e-12
+    kl = jnp.sum(p_t * (jnp.log(jnp.clip(p_t, eps)) - log_p_s))
+    return kl * temperature**2
 
 
-def kd_dfl_loss(s_dist, t_dist, fg_mask, reg_max: int, temperature):
-    """Positive-anchor DFL-distribution KD (loss_distill.py:440-500)."""
+def kd_dfl_loss(s_dist, t_dist, fg_mask, bbox_weight, denom, reg_max: int,
+                temperature):
+    """Positive-anchor DFL-distribution KD (loss_distill.py:444-500):
+    distill_loss_dfl is the MEAN over positive rows x 4 sides of the
+    bin-KL x T^2 (a scalar), which bbox_loss then multiplies by the
+    per-positive target-score weights and normalizes by target_scores_sum."""
     b, a, _ = s_dist.shape
     s = s_dist.reshape(b, a, 4, reg_max + 1)
     t = jax.lax.stop_gradient(t_dist.reshape(b, a, 4, reg_max + 1))
     log_p_s = jax.nn.log_softmax(s / temperature, axis=-1)
     p_t = jax.nn.softmax(t / temperature, axis=-1)
-    eps = 1e-7
+    eps = 1e-12
     kl = jnp.sum(p_t * (jnp.log(jnp.clip(p_t, eps)) - log_p_s), axis=-1)  # (B,A,4)
-    kl = jnp.mean(kl, axis=-1) * fg_mask
-    n_pos = jnp.maximum(jnp.sum(fg_mask), 1.0)
-    return jnp.sum(kl) * temperature**2 / n_pos
+    fg = fg_mask.astype(jnp.float32)
+    n_pos = jnp.maximum(jnp.sum(fg), 1.0)
+    scalar = jnp.sum(jnp.mean(kl, axis=-1) * fg) / n_pos * temperature**2
+    return scalar * jnp.sum(bbox_weight) / denom
 
 
 def kd_cw_loss(s_feats, t_feats, temperature: float = 1.0):
-    """Channel-wise feature KD: per-channel spatial softmax KL
-    (loss_distill.py:294-335)."""
-    eps = 1e-7
-    total = 0.0
-    for s, t in zip(s_feats, t_feats):
+    """Channel-wise feature KD on the first three levels
+    (distill_loss_cw, loss_distill.py:294-340): per-(image, channel) spatial
+    softmax, KL(student || teacher-as-log-target) summed, / (N*C), x T^2.
+    NHWC here vs the reference's NCHW — the (N, C, H*W) reshape is the same
+    per-channel spatial distribution."""
+    eps = 1e-12
+    total = jnp.float32(0.0)
+    for s, t in zip(s_feats[:3], t_feats[:3]):
         b, h, w, c = s.shape
         s2 = s.reshape(b, h * w, c) / temperature
         t2 = jax.lax.stop_gradient(t.reshape(b, h * w, c)) / temperature
         log_p_s = jax.nn.log_softmax(s2, axis=1)
-        p_t = jax.nn.softmax(t2, axis=1)
-        kl = jnp.sum(p_t * (jnp.log(jnp.clip(p_t, eps)) - log_p_s), axis=1)
-        total = total + jnp.sum(kl) * temperature**2 / (b * c)
+        log_p_t = jax.nn.log_softmax(t2, axis=1)
+        # F.kl_div(log_s, log_t, log_target=True, reduction='sum')
+        kl = jnp.sum(jnp.exp(log_p_t) * (log_p_t - log_p_s))
+        total = total + kl * temperature**2 / (b * c)
     return total
 
 
@@ -158,26 +166,46 @@ def detection_loss_distill(
     epoch,
     max_epoch: int,
     cfg: LossConfig,
+    temperature: float = 20.0,
+    distill_feat: bool = False,
     weight_cwd: float = 10.0,
+    distill_weight_class: float = 1.0,
+    distill_weight_dfl: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Full distillation objective (loss_distill.py:55-279): base detection
-    loss + cls KD + DFL KD on positives + channel-wise feature KD."""
-    base, parts = detection_loss(
-        student_outputs, gt_labels, gt_bboxes, gt_mask, feat_shapes, epoch, cfg
+    """Full distillation objective (loss_distill.py:62-279): the base
+    detection loss' assigner pass is shared, KD terms are cosine-decayed
+    (1 -> 0.01 over max_epoch) and composed as
+    class*(cls + dw*d_cls) + iou*iou + dfl*(dfl + dw*d_dfl) + cwd*d_cw,
+    with fixed temperature (args.temperature, default 20 — train.py:150)."""
+    _, parts, aux = detection_loss(
+        student_outputs, gt_labels, gt_bboxes, gt_mask, feat_shapes, epoch,
+        cfg, return_aux=True,
     )
     s_feats, s_cls, s_dist = student_outputs
     t_feats, t_cls, t_dist = teacher_outputs
-    temp = distill_temperature(jnp.asarray(epoch), max_epoch)
-    fg = (parts["num_pos"] > 0).astype(jnp.float32)  # scalar guard
-    # reuse the base assigner's positives via a cheap re-derivation: anchors
-    # where the student's own target weight was positive are approximated by
-    # score mass — the reference reuses its fg_mask; we recompute it here
-    d_cls = kd_cls_loss(s_cls, t_cls, temp)
-    # fg_mask proxy: teacher's confident anchors (matches the reference's
-    # intent of distilling where objects are)
-    fg_mask = (jnp.max(t_cls, axis=-1) > 0.05).astype(jnp.float32)
-    d_dfl = kd_dfl_loss(s_dist, t_dist, fg_mask, cfg.reg_max, temp)
-    d_cw = kd_cw_loss(s_feats, t_feats)
-    loss = base + cfg.weight_class * d_cls + cfg.weight_dfl * d_dfl + weight_cwd * d_cw * fg
-    parts = dict(parts, kd_cls=d_cls, kd_dfl=d_dfl, kd_cw=d_cw)
+    d_cls = kd_cls_loss(s_cls, t_cls, temperature)
+    d_dfl = (
+        kd_dfl_loss(s_dist, t_dist, aux.fg_mask, aux.bbox_weight, aux.denom,
+                    cfg.reg_max, temperature)
+        if cfg.use_dfl
+        else jnp.float32(0.0)
+    )
+    d_cw = (
+        kd_cw_loss(s_feats, t_feats) if distill_feat else jnp.float32(0.0)
+    )
+    dw = distill_weight_decay(epoch, max_epoch)
+    d_cls = d_cls * dw
+    d_dfl = d_dfl * dw
+    d_cw = d_cw * dw
+    loss_cls_all = aux.raw_cls + d_cls * distill_weight_class
+    loss_dfl_all = aux.raw_dfl + d_dfl * distill_weight_dfl
+    loss = (
+        cfg.weight_class * loss_cls_all
+        + cfg.weight_iou * aux.raw_iou
+        + cfg.weight_dfl * loss_dfl_all
+        + weight_cwd * d_cw
+    )
+    parts = dict(parts, kd_cls=d_cls, kd_dfl=d_dfl, kd_cw=d_cw,
+                 cls=cfg.weight_class * loss_cls_all,
+                 dfl=cfg.weight_dfl * loss_dfl_all)
     return loss, parts

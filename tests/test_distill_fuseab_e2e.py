@@ -1,0 +1,223 @@
+"""End-to-end distillation and fuse_ab TRAINING (VERDICT r2 missing #1):
+the heads/losses existed standalone; these tests pin the full paths —
+teacher loading, the distill/fuse_ab branches inside the fused train step
+and Trainer, the CLI flags, and the in-trainer PTQ calibration flow.
+
+Reference: ev-YOLOv6/yolov6/core/engine.py:69-80 (teacher setup, distill/
+fuse_ab exclusivity), :226-256 (per-step branches), :916-942 (calibrate),
+tools/train.py:140-161 (--distill/--distill_feat/--temperature/--fuse_ab/
+--quant/--calib).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from event_representation_study_tpu.utils.config import load_config
+
+TINY = ["model.depth_multiple=0.2", "model.width_multiple=0.125"]
+
+
+@pytest.fixture(scope="module")
+def gen1_fixture(tmp_path_factory):
+    from event_representation_study_tpu.data.gen1 import write_gen1_fixture
+
+    root = tmp_path_factory.mktemp("gen1kd")
+    for split in ("training.h5", "validation.h5"):
+        write_gen1_fixture(root / split, num_files=1, boxes_per_file=3,
+                           events_per_file=1500, seed=hash(split) % 99)
+    return root
+
+
+def _tiny_batch(B=2, S=64, M=4):
+    from event_representation_study_tpu.parallel.train_step import Batch
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, S, S, 12)), jnp.float32)
+    gt_b = np.zeros((B, M, 4), np.float32)
+    gt_b[:, 0] = [S * 0.1, S * 0.1, S * 0.6, S * 0.6]
+    gm = np.zeros((B, M), np.float32)
+    gm[:, 0] = 1.0
+    return Batch(images=imgs, events=None,
+                 gt_labels=jnp.zeros((B, M), jnp.int32),
+                 gt_bboxes=jnp.asarray(gt_b), gt_mask=jnp.asarray(gm))
+
+
+def test_distill_step_kd_loss_decreases():
+    """A student optimized against a frozen teacher drives the KD terms
+    down (the core claim of the distill branch: gradients flow from the
+    KD objective into the student only)."""
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import (
+        SolverConfig,
+        build_optimizer,
+    )
+
+    cfg = load_config("configs/gen1_optimized.py", overrides=TINY)
+    B, S = 2, 64
+    batch = _tiny_batch(B, S)
+    student = build_model(cfg, num_classes=2)
+    teacher = build_model(cfg, num_classes=2)
+    t_vars = jax.jit(functools.partial(teacher.init, train=True))(
+        jax.random.PRNGKey(7), batch.images
+    )
+    tx = build_optimizer(
+        jax.eval_shape(functools.partial(student.init, train=True),
+                       jax.random.PRNGKey(0), batch.images)["params"],
+        SolverConfig(lr0=0.05, steps_per_epoch=10, epochs=10, batch_size=B,
+                     warmup_epochs=0),
+    )
+    state = init_train_state(student, tx, jax.random.PRNGKey(0), batch.images)
+    step = make_train_step(
+        student, LossConfig(num_classes=2), tx, img_size=S,
+        mode="distill", teacher=(teacher, t_vars), max_epoch=10,
+        temperature=20.0, distill_feat=True, donate=False,
+    )
+    kd_hist = []
+    for i in range(30):
+        state, parts = step(state, batch, jnp.int32(0))
+        kd_hist.append(float(parts["kd_cls"]) + float(parts["kd_cw"]))
+        assert np.isfinite(float(parts["loss"]))
+    assert {"kd_cls", "kd_dfl", "kd_cw"} <= set(parts)
+    early = np.mean(kd_hist[:5])
+    late = np.mean(kd_hist[-5:])
+    assert late < early, (early, late)
+
+
+def test_distill_weight_decay_schedule():
+    from event_representation_study_tpu.train.losses_variants import (
+        distill_weight_decay,
+    )
+
+    assert float(distill_weight_decay(jnp.int32(0), 100)) == pytest.approx(1.0)
+    assert float(distill_weight_decay(jnp.int32(100), 100)) == pytest.approx(
+        0.01, abs=1e-6
+    )
+    assert float(distill_weight_decay(jnp.int32(50), 100)) == pytest.approx(
+        0.505, abs=1e-6
+    )
+
+
+def test_fuseab_step_both_branches_contribute():
+    """fuse_ab: one fused step optimizes af + ab losses; gradients reach the
+    ab prediction convs (engine.py:242-256)."""
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import (
+        SolverConfig,
+        build_optimizer,
+    )
+
+    cfg = load_config("configs/gen1_optimized.py", overrides=TINY)
+    B, S = 2, 64
+    batch = _tiny_batch(B, S)
+    model = build_model(cfg, num_classes=2, fuse_ab=True)
+    assert model.anchors_init is not None  # default priors synthesized
+    tx = build_optimizer(
+        jax.eval_shape(functools.partial(model.init, train=True),
+                       jax.random.PRNGKey(0), batch.images)["params"],
+        SolverConfig(lr0=0.05, steps_per_epoch=10, epochs=10, batch_size=B,
+                     warmup_epochs=0),
+    )
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), batch.images)
+    # the ab branch exists in the params tree
+    head = state.params["head"]
+    assert any("cls_pred_ab" in k for k in head)
+    ab_kernel_before = np.asarray(head["cls_pred_ab_0"]["kernel"])
+    step = make_train_step(model, LossConfig(num_classes=2), tx, img_size=S,
+                           mode="fuseab", donate=False)
+    for _ in range(3):
+        state, parts = step(state, batch, jnp.int32(10))
+    assert {"ab_cls", "ab_iou", "ab_num_pos"} <= set(parts)
+    assert np.isfinite(float(parts["loss"]))
+    assert float(parts["ab_num_pos"]) > 0
+    ab_kernel_after = np.asarray(state.params["head"]["cls_pred_ab_0"]["kernel"])
+    assert not np.allclose(ab_kernel_before, ab_kernel_after)
+    # eval decode stays anchor-free and NMS-compatible
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch.images, False,
+    )
+    assert out.shape[-1] == 4 + 1 + 2
+
+
+def test_trainer_distill_and_fuseab_wiring(gen1_fixture, tmp_path):
+    """Trainer-level: teacher checkpoint loading, one distill epoch, one
+    fuse_ab epoch, and the exclusivity guard."""
+    from event_representation_study_tpu.train.checkpoint import save_checkpoint
+    from event_representation_study_tpu.train.engine import Trainer
+
+    cfg = load_config("configs/gen1_optimized.py", overrides=TINY)
+    cfg["data"]["representation"] = "EventHistogram"
+
+    with pytest.raises(ValueError):
+        Trainer(cfg, gen1_fixture, batch_size=2, epochs=1, img_size=64,
+                output_dir=tmp_path / "x", num_events=256,
+                distill=True, fuse_ab=True)
+
+    # teacher = a saved plain-model checkpoint
+    plain = Trainer(cfg, gen1_fixture, batch_size=2, epochs=1, img_size=64,
+                    output_dir=tmp_path / "plain", eval_interval=10**6,
+                    eval_interval_first=-1, num_events=256, seed=0)
+    save_checkpoint(tmp_path / "teacher_ckpt", plain.state, 0)
+
+    tr = Trainer(cfg, gen1_fixture, batch_size=2, epochs=1, img_size=64,
+                 output_dir=tmp_path / "kd", eval_interval=10**6,
+                 eval_interval_first=-1, num_events=256, seed=1,
+                 distill=True, teacher_ckpt=str(tmp_path / "teacher_ckpt"),
+                 temperature=5.0)
+    assert tr.train_mode == "distill" and tr.teacher is not None
+    tr.train()
+    assert int(tr.state.step) == len(tr.train_loader)
+
+    tr2 = Trainer(cfg, gen1_fixture, batch_size=2, epochs=1, img_size=64,
+                  output_dir=tmp_path / "ab", eval_interval=10**6,
+                  eval_interval_first=-1, num_events=256, seed=1,
+                  fuse_ab=True)
+    assert tr2.train_mode == "fuseab"
+    tr2.train()
+    assert int(tr2.state.step) == len(tr2.train_loader)
+    assert any("cls_pred_ab" in k for k in tr2.state.params["head"])
+
+
+def test_trainer_quant_calib_flow(gen1_fixture, tmp_path):
+    """--quant --calib: calibrate-and-exit writes ptq_ckpt with activation
+    ranges and quantized weights; train() short-circuits (engine.py:916-942,
+    train.py:258-259)."""
+    from event_representation_study_tpu.train.engine import Trainer
+
+    cfg = load_config("configs/gen1_optimized.py", overrides=TINY)
+    cfg["data"]["representation"] = "EventHistogram"
+    tr = Trainer(cfg, gen1_fixture, batch_size=2, epochs=5, img_size=64,
+                 output_dir=tmp_path / "ptq", num_events=256, seed=0,
+                 quant_calib=True)
+    ranges, stats = tr.train()
+    assert int(tr.state.step) == 0  # no training happened
+    assert ranges and all(v > 0 for v in ranges.values())
+    assert (tmp_path / "ptq" / "ptq_ckpt").exists()
+    assert "AP" in stats
+
+
+def test_cli_flags_exist():
+    from event_representation_study_tpu.cli.train import get_args_parser
+
+    p = get_args_parser()
+    args = p.parse_args(
+        ["--data-path", "/x", "--distill", "--distill-feat",
+         "--temperature", "10", "--teacher-ckpt", "/t", "--quant", "--calib"]
+    )
+    assert args.distill and args.distill_feat and args.quant and args.calib
+    assert args.temperature == 10.0 and args.teacher_ckpt == "/t"
+    args2 = p.parse_args(["--data-path", "/x", "--fuse-ab"])
+    assert args2.fuse_ab and not args2.distill

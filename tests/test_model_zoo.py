@@ -196,9 +196,10 @@ def test_distill_ns_head_and_kd_losses():
     # KD losses vanish when student == teacher
     t = jnp.float32(4.0)
     assert float(kd_cls_loss(cls, cls, t)) == pytest.approx(0.0, abs=1e-5)
-    assert float(kd_dfl_loss(dist, dist, jnp.ones((2, A)), 16, t)) == pytest.approx(
-        0.0, abs=1e-5
-    )
+    assert float(
+        kd_dfl_loss(dist, dist, jnp.ones((2, A)), jnp.ones((2, A)),
+                    jnp.float32(A), 16, t)
+    ) == pytest.approx(0.0, abs=1e-5)
     assert float(kd_cw_loss(sf, sf)) == pytest.approx(0.0, abs=1e-4)
 
     # full distill objective over student/teacher pairs is finite and larger
