@@ -29,7 +29,7 @@ last tile boundary or land in slots >= num_segments that are sliced off.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -139,9 +139,12 @@ def fused_segment_reduce(
     columns_fn,  # (sorted_pos, *sorted_carry) -> (vs (B,Ks,N), vm (B,Km,N))
     num_segments: int,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (sums (B, S, Ks), maxes (B, S, Km)); maxes are NEG_INF for
-    empty segments (callers decide the empty-bin fill).
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Returns (sums (B, S, Ks), maxes (B, S, Km) or None). When
+    ``columns_fn`` yields no max columns (Km == 0) the sum-only fast path
+    skips the dummy NEG_INF stream entirely and returns ``maxes=None``;
+    otherwise maxes are NEG_INF for empty segments (callers decide the
+    empty-bin fill).
 
     Value columns are computed *after* the sort by ``columns_fn`` from the
     sorted carry streams + positions: multi-operand ``lax.sort`` scales badly

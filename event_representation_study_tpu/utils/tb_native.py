@@ -23,6 +23,8 @@ import time
 import zlib
 from typing import Dict, Sequence
 
+import numpy as np
+
 # ---------------------------------------------------------------- crc32c --
 
 _POLY = 0x82F63B78  # reflected Castagnoli
@@ -35,6 +37,9 @@ for _i in range(256):
 
 
 def crc32c(data: bytes) -> int:
+    # pure-Python table loop: ~100 ms for a 640^2 RGB PNG payload — fine for
+    # the rare plot/image calls this writer serves; route through a C crc32c
+    # (google-crc32c et al.) before making image logging hot
     crc = 0xFFFFFFFF
     for b in data:
         crc = (crc >> 8) ^ _TABLE[(crc ^ b) & 0xFF]
@@ -180,8 +185,11 @@ class NativeTBWriter:
 
     # MetricWriter protocol (observability.MultiWriter backends)
     def log(self, metrics: Dict, step: int):
-        values = [_summary_value_scalar(k, v) for k, v in metrics.items()
-                  if isinstance(v, (int, float))]
+        # np.number included: the torch SummaryWriter this replaces accepts
+        # numpy scalars, so silently dropping them would lose metrics
+        values = [_summary_value_scalar(k, float(v))
+                  for k, v in metrics.items()
+                  if isinstance(v, (int, float, np.number))]
         if values:
             self._write(_event(step, values))
 
