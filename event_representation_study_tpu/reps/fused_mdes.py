@@ -97,12 +97,17 @@ def _window_mask(w, pos, num, t_s, stacking):
     return valid & (pos >= start)
 
 
-def _mdes_columns(plan, num, t0, span, any_neg, stacking):
-    """Build the columns_fn closure for fused_segment_reduce."""
+def _mdes_columns(plan, num, t0, span, any_neg, stacking, pos_offset=0):
+    """Build the columns_fn closure for fused_segment_reduce.
+
+    ``pos_offset`` maps the kernel's local sorted positions to GLOBAL stream
+    positions — 0 for the unsharded path; ``shard_index * N_local`` under
+    event-axis sharding (parallel/event_shard.py), where window membership
+    must be judged against the global count/positions."""
     sum_cols, max_cols, _ = plan
 
     def window_mask(w, pos, num, t_s):
-        return _window_mask(w, pos, num, t_s, stacking)
+        return _window_mask(w, pos_offset + pos, num, t_s, stacking)
 
     def selector(f, w, p, wmask):
         if f in ("timestamp_pos", "count_pos"):
@@ -150,6 +155,73 @@ def _mdes_columns(plan, num, t0, span, any_neg, stacking):
     return columns_fn
 
 
+def mdes_partials(
+    x, y, t, p, num,  # (B, N) leaves + (B,) count; N may be a LOCAL slice
+    height: int,
+    width: int,
+    plan,
+    stacking: str,
+    t0, span, any_neg,  # GLOBAL stream metadata (per sample)
+    pos_offset=0,  # global position of this slice's first element
+    interpret: bool = False,
+):
+    """Per-slice partial (sums, maxes) from one fused kernel launch.
+
+    Pure partial reduction: summing ``sums`` and max-ing ``maxes`` across
+    slices of the same stream (e.g. ``psum``/``pmax`` over an "event" mesh
+    axis) equals the unsliced result — the factorization the event-sharded
+    path rides (parallel/event_shard.py)."""
+    B, N = x.shape
+    S = height * width
+    pos = pos_offset + jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    valid = pos < num[:, None]
+    seg = jnp.where(valid, y.astype(jnp.int32) * width + x.astype(jnp.int32), S)
+    t = t.astype(jnp.float32)
+    columns_fn = _mdes_columns(plan, num, t0, span, any_neg, stacking,
+                               pos_offset)
+    return fused_segment_reduce(
+        seg, (t, p.astype(jnp.float32)), columns_fn, S, interpret=interpret
+    )  # (B, S, Ks), (B, S, Km) | None
+
+
+def mdes_window_any_neg(p, pos, num, t_s, stacking: str):
+    """(B, n_windows) bool: window has a p == -1 event — the p==0 fallback
+    selector input (operations.py:59-61). Partial over slices; OR (psum > 0)
+    across slices gives the global flags."""
+    n_windows = 8 if stacking == "SBT" else 7
+    p_i = p.astype(jnp.int32)
+    return jnp.stack(
+        [
+            jnp.any((p_i == -1) & _window_mask(w, pos, num, t_s, stacking),
+                    axis=1)
+            for w in range(n_windows)
+        ],
+        axis=1,
+    )
+
+
+def mdes_combine(sums, maxes, plan, span_ok, height: int, width: int):
+    """Channel combination from (possibly cross-shard-combined) partials."""
+    _, _, recipes = plan
+    channels = []
+    for r in recipes:
+        if r[0] == "sum":
+            ch = sums[..., r[1]]
+        elif r[0] == "mean":
+            ch = sums[..., r[1]] / jnp.maximum(sums[..., r[2]], 1.0)
+        elif r[0] == "var":
+            cnt = jnp.maximum(sums[..., r[3]], 1.0)
+            m = sums[..., r[1]] / cnt
+            m2 = sums[..., r[2]] / cnt
+            ch = m2 - m * m
+        else:  # max
+            ch = jnp.where(maxes[..., r[1]] <= NEG_INF / 2, 0.0, maxes[..., r[1]])
+        ch = jnp.where(span_ok[:, None], ch, 0.0)
+        channels.append(ch)
+    out = jnp.stack(channels, axis=-1)  # (B, S, C)
+    return out.reshape(out.shape[0], height, width, len(recipes))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "windows", "funcs", "aggs", "stacking", "interpret"),
@@ -166,13 +238,8 @@ def mdes_fused_batched(
 ) -> jnp.ndarray:
     """(B, H, W, C) float32, one fused kernel launch for all channels."""
     B, N = blocks.x.shape
-    S = height * width
     num = blocks.num.astype(jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
-    valid = pos < num[:, None]
-    seg = jnp.where(
-        valid, blocks.y.astype(jnp.int32) * width + blocks.x.astype(jnp.int32), S
-    )
 
     t = blocks.t.astype(jnp.float32)
     bidx = jnp.arange(B)
@@ -184,49 +251,14 @@ def mdes_fused_batched(
     # per-(sample, window) "has negative events" for the p==0 fallback
     # (operations.py:59-61); computed pre-sort on original positions
     plan = _plan(windows, funcs, aggs)
-    p_i = blocks.p.astype(jnp.int32)
-
     t_s_unsorted = (t - t0[:, None]) / jnp.maximum(span[:, None], 1.0)
-    n_windows = 8 if stacking == "SBT" else 7
-    any_neg = jnp.stack(
-        [
-            jnp.any(
-                (p_i == -1) & _window_mask(w, pos, num, t_s_unsorted, stacking),
-                axis=1,
-            )
-            for w in range(n_windows)
-        ],
-        axis=1,
-    )  # (B, 7 or 8)
+    any_neg = mdes_window_any_neg(blocks.p, pos, num, t_s_unsorted, stacking)
 
-    columns_fn = _mdes_columns(plan, num, t0, span, any_neg, stacking)
-    sums, maxes = fused_segment_reduce(
-        seg,
-        (t, p_i.astype(jnp.float32)),
-        columns_fn,
-        S,
-        interpret=interpret,
-    )  # (B, S, Ks), (B, S, Km)
-
-    sum_cols, max_cols, recipes = plan
-    channels = []
-    for r in recipes:
-        if r[0] == "sum":
-            ch = sums[..., r[1]]
-        elif r[0] == "mean":
-            ch = sums[..., r[1]] / jnp.maximum(sums[..., r[2]], 1.0)
-        elif r[0] == "var":
-            cnt = jnp.maximum(sums[..., r[3]], 1.0)
-            m = sums[..., r[1]] / cnt
-            m2 = sums[..., r[2]] / cnt
-            ch = m2 - m * m
-        else:  # max
-            ch = jnp.where(maxes[..., r[1]] <= NEG_INF / 2, 0.0, maxes[..., r[1]])
-        ch = jnp.where(span_ok[:, None], ch, 0.0)
-        channels.append(ch)
-
-    out = jnp.stack(channels, axis=-1)  # (B, S, C)
-    return out.reshape(B, height, width, len(recipes))
+    sums, maxes = mdes_partials(
+        blocks.x, blocks.y, t, blocks.p, num, height, width, plan, stacking,
+        t0, span, any_neg, interpret=interpret,
+    )
+    return mdes_combine(sums, maxes, plan, span_ok, height, width)
 
 
 def ergo12_fused_batched(blocks: EventBlock, height: int, width: int,

