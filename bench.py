@@ -301,32 +301,42 @@ def bench_eval_section():
 
     cfg, B, S, imgs, _ = _detector_fixture()
 
-    # f32: the bf16 eval-decode graph exceeds the remote compiler's request
-    # size limit through the axon tunnel (HTTP 413 / broken pipe)
-    model = build_model(cfg, num_classes=2)
-    variables = jax.jit(functools.partial(model.init, train=False))(
-        jax.random.PRNGKey(0), imgs
-    )
+    out = {}
+    # f32 first: its eval graph compiles in ~55 s vs bf16's ~400 s on v5e
+    # (measured after the closure fix), so one eval metric always lands
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = build_model(cfg, num_classes=2, dtype=dtype)
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            jax.random.PRNGKey(0), imgs
+        )
 
-    # two programs like the Evaler: the fused forward+NMS graph can exceed
-    # the remote compiler's request size limit (HTTP 413) at paper scale
-    fwd = jax.jit(lambda im: model.apply(variables, im, False))
-    nms = jax.jit(
-        lambda p: non_max_suppression(p, conf_thres=0.03, iou_thres=0.65)
-    )
+        # variables MUST be an argument, not a closure: closing over the
+        # 140M-param pytree folds it into the HLO as constants — the round-2
+        # "HTTP 413 / 5-minute eval compile" was exactly that (a ~0.5 GB
+        # serialized graph through the remote-compile tunnel), not an
+        # inherent decode cost
+        fwd = jax.jit(lambda v, im: model.apply(v, im, False))
+        nms = jax.jit(
+            lambda p: non_max_suppression(p, conf_thres=0.03, iou_thres=0.65)
+        )
 
-    def infer(imgs):
-        return nms(fwd(imgs))
+        def infer(imgs):
+            return nms(fwd(variables, imgs))
 
-    r = infer(imgs)
-    float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
+        t0 = time.perf_counter()
         r = infer(imgs)
-    float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / iters
-    return {"eval_infer_nms_ms_per_img": round(dt / B * 1e3, 2)}
+        float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+        out[f"eval_compile_s_{name}"] = round(time.perf_counter() - t0, 1)
+        iters = 8
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = infer(imgs)
+        float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / iters
+        out[f"eval_infer_nms_ms_per_img_{name}"] = round(dt / B * 1e3, 2)
+        if _remaining() < 300:
+            break
+    return out
 
 
 def bench_aug_step_section():
