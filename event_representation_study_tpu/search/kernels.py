@@ -60,10 +60,13 @@ def kernel_contribution(model: KernelModel, samples: jnp.ndarray):
 
 @jax.jit
 def acquisition_values(model: KernelModel, samples: jnp.ndarray, lam: jnp.ndarray):
-    """(num + lambda) * inv_den — gryffin's per-strategy acquisition
-    (acquisition.py AcquisitionFunction); minimized."""
+    """(num + lambda * inv_vol) * inv_den — gryffin's per-strategy
+    acquisition (acquisition.py:255 with sampling_param = strategy *
+    inverse_volume, gryffin.py:373-375); minimized. At unexplored points the
+    value is exactly the strategy lambda, so lambda=-1 is pure exploration
+    and +1 pure exploitation regardless of the grid size."""
     num, inv_den = kernel_contribution(model, samples)
-    return (num + lam) * inv_den
+    return (num + lam * model.inv_vol) * inv_den
 
 
 @jax.jit
@@ -144,6 +147,10 @@ class MixedKernelModel(NamedTuple):
     sqrt_prec: jnp.ndarray  # (draws, obs, Dc)
     objs: jnp.ndarray  # (obs,)
     inv_vol: float
+    # per-continuous-dim periodic flag (kernel type 1,
+    # kernel_evaluations.pyx:30-43,132-140): the Gaussian distance wraps
+    # across the normalized [0, 1] range; 0.0 = plain (type 0)
+    periodic: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 @jax.jit
@@ -159,7 +166,13 @@ def mixed_probs(model: MixedKernelModel, cat_samples: jnp.ndarray,
         x = cont_samples[None, None, :, :]  # (1, 1, S, Dc)
         loc = model.locs[:, :, None, :]
         sp = model.sqrt_prec[:, :, None, :]
-        g = INV_SQRT_2PI * sp * jnp.exp(-0.5 * (sp * (x - loc)) ** 2)
+        d = jnp.abs(x - loc)
+        if model.periodic.shape[0]:
+            # closest distance across the boundary: min(d, range - d) with
+            # unit normalized range (_gauss_periodic, pyx:29-43)
+            per = model.periodic[None, None, None, :]
+            d = jnp.where(per > 0, jnp.minimum(d, 1.0 - d), d)
+        g = INV_SQRT_2PI * sp * jnp.exp(-0.5 * (sp * d) ** 2)
         prod = prod * jnp.prod(g, axis=-1)  # (draws, obs, S)
     return jnp.mean(prod, axis=0).T  # (S, obs)
 
@@ -167,7 +180,9 @@ def mixed_probs(model: MixedKernelModel, cat_samples: jnp.ndarray,
 @jax.jit
 def mixed_acquisition_values(model: MixedKernelModel, cat_samples, cont_samples,
                              lam: jnp.ndarray):
+    """Same lambda semantics as :func:`acquisition_values`:
+    sampling_param = lambda * inv_vol (gryffin.py:373-375)."""
     probs = mixed_probs(model, cat_samples, cont_samples)
     num = probs @ model.objs
     den = jnp.sum(probs, axis=-1)
-    return (num + lam) / (model.inv_vol + den)
+    return (num + lam * model.inv_vol) / (model.inv_vol + den)

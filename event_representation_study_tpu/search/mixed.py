@@ -30,6 +30,9 @@ class ContinuousParam:
     name: str
     low: float
     high: float
+    # periodic continuous kernel (kernel_evaluations.pyx:29-43, kernel type
+    # 1): distances wrap across [low, high] — for angular/cyclic parameters
+    periodic: bool = False
 
 
 @dataclasses.dataclass
@@ -100,7 +103,12 @@ class MixedGryffin:
         bnn_train_steps: int = 500,
         bnn_draws: int = 200,
         dynamic_descriptors: bool = False,
+        acquisition_optimizer: str = "adam",
     ):
+        # gryffin's package default is "adam" (utilities/defaults.py:11-32);
+        # the study's categorical search configures "genetic"
+        # (optimization.py:223)
+        assert acquisition_optimizer in ("adam", "genetic")
         self.params = list(parameters)
         self.cat_params = [p for p in self.params if isinstance(p, CategoricalParamD)]
         self.num_params = [
@@ -116,6 +124,11 @@ class MixedGryffin:
         self.dynamic_descriptors = dynamic_descriptors
         self.option_counts = tuple(len(p.options) for p in self.cat_params)
         self._seed = random_seed
+        self.acquisition_optimizer = acquisition_optimizer
+        self._periodic_mask = np.array(
+            [float(getattr(p, "periodic", False)) for p in self.num_params],
+            np.float32,
+        )
 
     # -- encode / decode -----------------------------------------------
     def _encode(self, obs: Dict) -> Tuple[np.ndarray, np.ndarray]:
@@ -235,6 +248,7 @@ class MixedGryffin:
             sqrt_prec=sqrt_prec,
             objs=jnp.asarray(y_n, jnp.float32),
             inv_vol=1.0 / vol,
+            periodic=jnp.asarray(self._periodic_mask),
         )
 
         selected = []
@@ -245,6 +259,97 @@ class MixedGryffin:
 
     def _optimize(self, model, lam, population=200, generations=10,
                   mutation_rate=0.25):
+        if self.acquisition_optimizer == "adam" and self.num_params:
+            return self._optimize_adam(model, lam, population)
+        return self._optimize_genetic(model, lam, population, generations,
+                                      mutation_rate)
+
+    def _optimize_adam(self, model, lam, population=200, top_k=16,
+                       steps=150, lr=0.05):
+        """Gradient acquisition refinement — the package-default optimizer
+        (gryffin/src/gryffin/acquisition/gradient_optimizer/, ~525 LoC of
+        hand-rolled Adam + naive steppers; defaults.py:11-32 "adam"). Random
+        feasible proposals are refined: Adam on the continuous coordinates
+        (one vectorized jax loop over the whole top-k batch replaces the
+        per-proposal process fan-out, acquisition.py:115-137), then a naive
+        coordinate-descent pass over each categorical dimension (the discrete
+        one-hot stepper's effect, exact for small option counts). Periodic
+        dims wrap mod 1 instead of clipping."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from .kernels import mixed_acquisition_values
+
+        cat, cont = self._random_n(population)
+        vals = np.asarray(
+            mixed_acquisition_values(
+                model, jnp.asarray(cat, jnp.int32),
+                jnp.asarray(cont, jnp.float32), jnp.float32(lam),
+            )
+        )
+        order = np.argsort(vals)[:top_k]
+        cat, cont = cat[order], jnp.asarray(cont[order], jnp.float32)
+        cat_j = jnp.asarray(cat, jnp.int32)
+        per = jnp.asarray(self._periodic_mask) > 0
+
+        def acq_sum(x):
+            x = jnp.where(per[None, :], jnp.mod(x, 1.0), jnp.clip(x, 0.0, 1.0))
+            return jnp.sum(
+                mixed_acquisition_values(model, cat_j, x, jnp.float32(lam))
+            )
+
+        tx = optax.adam(lr)
+
+        @jax.jit
+        def refine(x):
+            opt = tx.init(x)
+
+            def body(carry, _):
+                x, opt = carry
+                g = jax.grad(acq_sum)(x)
+                up, opt = tx.update(g, opt)
+                x = optax.apply_updates(x, up)
+                return (x, opt), None
+
+            (x, _), _ = jax.lax.scan(body, (x, opt), None, length=steps)
+            return jnp.where(per[None, :], jnp.mod(x, 1.0),
+                             jnp.clip(x, 0.0, 1.0))
+
+        cont = np.asarray(refine(cont), np.float64)
+        # naive categorical stepper: exact best option per dim, in turn
+        for d, count in enumerate(self.option_counts):
+            trial_cat = np.repeat(cat, count, axis=0)
+            trial_cat[:, d] = np.tile(np.arange(count), len(cat))
+            trial_cont = np.repeat(cont, count, axis=0)
+            v = np.asarray(
+                mixed_acquisition_values(
+                    model, jnp.asarray(trial_cat, jnp.int32),
+                    jnp.asarray(trial_cont, jnp.float32), jnp.float32(lam),
+                )
+            ).reshape(len(cat), count)
+            cat[:, d] = np.argmin(v, axis=1)
+        vals = np.asarray(
+            mixed_acquisition_values(
+                model, jnp.asarray(cat, jnp.int32),
+                jnp.asarray(cont, jnp.float32), jnp.float32(lam),
+            )
+        )
+        if self.known_constraints is not None:
+            feas = np.array([
+                self.known_constraints(self._decode(c, x))
+                for c, x in zip(cat, cont)
+            ])
+            if feas.any():
+                vals = np.where(feas, vals, np.inf)
+            else:  # all refined points infeasible: fall back to feasible draw
+                rc, rx = self._random_n(1)
+                return rc[0], rx[0]
+        best = int(np.argmin(vals))
+        return cat[best], cont[best]
+
+    def _optimize_genetic(self, model, lam, population=200, generations=10,
+                          mutation_rate=0.25):
         """GA over the mixed space: categorical resampling + Gaussian
         perturbation of continuous genes (genetic_optimizer.py's constrained
         evolution with gryffin's continuous mutations)."""

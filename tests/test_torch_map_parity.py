@@ -1,0 +1,251 @@
+"""Metric-level (mAP) parity against the live torch reference (VERDICT r2
+next-round #2): the SAME preprocessed images run through BOTH eval pipelines
+
+  torch:  reference Model forward -> yolov6.utils.nms.non_max_suppression
+          (multi_label, conf .03->1e-3 here so random weights yield dets;
+          torchvision.ops.nms stubbed with an exact greedy implementation)
+          -> Evaler.scale_coords un-letterboxing (evaler.py:512-543)
+  jax:    converted weights (utils/torch_convert) -> our decode -> our
+          fixed-shape NMS -> ops.image.scale_coords_back
+
+and the resulting detection sets must agree box-for-box, and produce equal
+AP/AP50 (< 0.005) under metrics/coco.py against the same GT.  This fails if
+decode, NMS semantics (multi-label expansion, class offset, tie order),
+coordinate unscaling, or the evaluator drift — converting the 0.506
+reproduction from plausible to checked.
+
+The image-build stage (rep + resize + letterbox) is shared on purpose: its
+parity is pinned separately (reps golden tests + the Gen1 host-parity mode);
+sharing it isolates THIS test to the post-image pipeline.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from test_torch_parity import _stub_modules  # noqa: E402
+
+REF = "/root/reference/ev-YOLOv6"
+
+
+def _greedy_nms(boxes, scores, iou_thres):
+    """Exact torchvision.ops.nms semantics: score-descending greedy
+    suppression by IoU > threshold; returns kept indices (torch tensor)."""
+    b = boxes.numpy() if isinstance(boxes, torch.Tensor) else np.asarray(boxes)
+    s = scores.numpy() if isinstance(scores, torch.Tensor) else np.asarray(scores)
+    order = np.argsort(-s, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(b), bool)
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        lt = np.maximum(b[i, :2], b[:, :2])
+        rb = np.minimum(b[i, 2:], b[:, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
+        suppressed |= iou > iou_thres
+    return torch.as_tensor(np.asarray(keep, np.int64))
+
+
+def _stub_torchvision():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        ops = types.ModuleType("torchvision.ops")
+        ops.nms = _greedy_nms
+        tv.ops = ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = ops
+    if "pycocotools" not in sys.modules:
+        # evaler.py imports pycocotools at module scope; only its
+        # scale_coords method is used here
+        pc = types.ModuleType("pycocotools")
+        coco_m = types.ModuleType("pycocotools.coco")
+        coco_m.COCO = type("COCO", (), {})
+        eval_m = types.ModuleType("pycocotools.cocoeval")
+        eval_m.COCOeval = type("COCOeval", (), {})
+        pc.coco, pc.cocoeval = coco_m, eval_m
+        sys.modules["pycocotools"] = pc
+        sys.modules["pycocotools.coco"] = coco_m
+        sys.modules["pycocotools.cocoeval"] = eval_m
+    # evaler.py -> gen1_2yolo.py pulls dataset-only deps unused here
+    for name, attrs in (
+        ("torch_geometric", {}),
+        ("torch_geometric.data", {"Data": type("Data", (), {}),
+                                  "Dataset": type("Dataset", (), {}),
+                                  "InMemoryDataset": type("IMD", (), {})}),
+        ("hdf5plugin", {"Blosc": lambda **k: {}}),
+        ("tonic", {}),
+        ("tonic.transforms", {"ToVoxelGrid": object, "ToImage": object}),
+        ("tqdm", {"tqdm": lambda x, **k: x}),
+        ("representations", {"__path__": []}),  # package-like
+        ("representations.gen1_transforms",
+         {"get_item_transform": lambda *a, **k: None}),
+        ("representations.gen4_transforms",
+         {"get_item_transform": lambda *a, **k: None}),
+        ("representations.event_stack", {"EventStack": object}),
+        ("representations.time_surface", {"ToTimesurface": object}),
+        ("representations.tore", {"events2ToreFeature": object}),
+        ("representations.representation_search", {"__path__": []}),
+        ("representations.representation_search.mixed_density_event_stack",
+         {"MixedDensityEventStack": object}),
+        ("tonic.transforms", {"ToVoxelGrid": object, "ToImage": object}),
+    ):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+            parent, _, child = name.rpartition(".")
+            if parent and parent in sys.modules:
+                setattr(sys.modules[parent], child, m)
+
+
+@pytest.fixture(scope="module")
+def small_reference_model():
+    _stub_modules()
+    _stub_torchvision()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from yolov6.models.yolo import Model
+    from yolov6.utils.config import Config
+
+    cfg = Config.fromfile(f"{REF}/configs/swinv2_yolov6l6_finetune.py")
+    cfg.model.depth_multiple = 0.25
+    cfg.model.width_multiple = 0.25
+    args = types.SimpleNamespace(representation="OptimizedRepresentation",
+                                 img_size=320)
+    torch.manual_seed(7)
+    model = Model(cfg, channels=12, num_classes=2, fuse_ab=False,
+                  distill_ns=False, args=args)
+    # random init gives near-prior scores (~0.01 everywhere): thousands of
+    # near-tied candidates make greedy NMS knife-edged and the comparison
+    # meaningless. Nudge the prediction biases so a few dozen spread-out
+    # candidates clear conf=0.05 with real score gaps.
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "cls_pred" in name and name.endswith("bias"):
+                p += torch.randn_like(p) * 3.0
+            if "reg_pred" in name and name.endswith("bias"):
+                p += torch.randn_like(p) * 0.5
+    model.eval().float()
+    return model
+
+
+def test_map_parity_torch_vs_jax(small_reference_model):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.metrics.coco import CocoEvaluator
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.ops.image import scale_coords_back
+    from event_representation_study_tpu.ops.nms import non_max_suppression
+    from event_representation_study_tpu.utils.config import load_config
+    from event_representation_study_tpu.utils.torch_convert import (
+        convert_state_dict,
+    )
+    from yolov6.utils.nms import non_max_suppression as torch_nms
+
+    S, H0, W0 = 320, 240, 304
+    NIMG = 4
+    CONF, IOU = 0.05, 0.65
+    rng = np.random.default_rng(11)
+
+    # shared preprocessed images (the post-image pipeline is under test)
+    imgs = rng.uniform(0, 1, (NIMG, S, S, 12)).astype(np.float32)
+    gts = []
+    for _ in range(NIMG):
+        n = rng.integers(1, 4)
+        x1 = rng.uniform(0, W0 - 60, n)
+        y1 = rng.uniform(0, H0 - 50, n)
+        w = rng.uniform(25, 60, n)
+        h = rng.uniform(20, 50, n)
+        cls = rng.integers(0, 2, n)
+        gts.append(np.stack([cls, x1, y1, x1 + w, y1 + h], -1).astype(float))
+
+    # ---- torch pipeline (evaler.py:134-177 semantics) ----
+    tmodel = small_reference_model
+    x_t = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        preds_t, _ = tmodel(x_t)
+    dets_t = torch_nms(preds_t, conf_thres=CONF, iou_thres=IOU,
+                       multi_label=True, max_det=300)
+    from yolov6.core.evaler import Evaler as TorchEvaler
+
+    fake_self = types.SimpleNamespace(scale_exact=False)
+    torch_dets = []
+    for d in dets_t:
+        d = d.numpy().copy()
+        if len(d):
+            # the reference always reaches scale_coords with ratio_pad from
+            # the dataset's shapes tuple (gen1_2yolo.py:343-346; the
+            # ratio_pad=None branch cannot run: its list-gain arithmetic
+            # raises).  Both sides get the same (gain, pad) here so this
+            # test pins the unscaling ARITHMETIC (evaler.py:524-543);
+            # letterbox geometry/rounding parity is covered by the Gen1
+            # host-parity tests.
+            gain = min(S / H0, S / W0)
+            pad = ((S - W0 * gain) / 2, (S - H0 * gain) / 2)
+            d[:, :4] = TorchEvaler.scale_coords(
+                fake_self, (S, S), torch.from_numpy(d[:, :4]).clone(),
+                np.array([H0, W0], np.float64),
+                ratio_pad=((gain,), pad),
+            ).numpy()
+        torch_dets.append(d)  # (n, 6) xyxy, conf, cls
+
+    # ---- jax pipeline (our Evaler's post-image path) ----
+    params, batch_stats = convert_state_dict(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    )
+    assert "__unmatched__" not in params, params.get("__unmatched__")
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.25", "model.width_multiple=0.25"],
+    )
+    jmodel = build_model(cfg, num_classes=2)
+    preds_j = jax.jit(lambda v, im: jmodel.apply(v, im, False))(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(imgs)
+    )
+    boxes_j, counts_j = jax.jit(
+        lambda p: non_max_suppression(p, conf_thres=CONF, iou_thres=IOU)
+    )(preds_j)
+    boxes_j, counts_j = np.asarray(boxes_j), np.asarray(counts_j)
+
+    jax_dets = []
+    for i in range(NIMG):
+        d = boxes_j[i, : int(counts_j[i])].copy()
+        if len(d):
+            d[:, :4] = scale_coords_back(d[:, :4], S, H0, W0)
+        jax_dets.append(d)
+
+    # ---- box-for-box agreement ----
+    total = 0
+    for i, (dt, dj) in enumerate(zip(torch_dets, jax_dets)):
+        assert len(dt) == len(dj), (i, len(dt), len(dj))
+        total += len(dt)
+        if not len(dt):
+            continue
+        # both sides in score order; tolerate reordering within score ties
+        ot = np.lexsort((dt[:, 5], -dt[:, 4]))
+        oj = np.lexsort((dj[:, 5], -dj[:, 4]))
+        dt, dj = dt[ot], dj[oj]
+        np.testing.assert_allclose(dt[:, 4], dj[:, 4], atol=2e-3)
+        assert np.array_equal(dt[:, 5], dj[:, 5]), i
+        np.testing.assert_allclose(dt[:, :4], dj[:, :4], atol=0.5)
+    assert total > 10, f"only {total} detections — parity check is vacuous"
+
+    # ---- identical mAP under the pinned evaluator ----
+    ev_t, ev_j = CocoEvaluator(2), CocoEvaluator(2)
+    for dt, dj, g in zip(torch_dets, jax_dets, gts):
+        ev_t.add_image(dt[:, [0, 1, 2, 3, 4, 5]], g)
+        ev_j.add_image(dj[:, [0, 1, 2, 3, 4, 5]], g)
+    st, sj = ev_t.summarize(), ev_j.summarize()
+    assert abs(st["AP"] - sj["AP"]) < 0.005, (st["AP"], sj["AP"])
+    assert abs(st["AP50"] - sj["AP50"]) < 0.005, (st["AP50"], sj["AP50"])
