@@ -37,6 +37,12 @@ class CSPBackboneP6(nn.Module):
     # activations in the backward pass instead of holding them in HBM —
     # the stages carry most of the activation memory at 640^2
     remat: bool = False
+    # space-to-depth stem: fold the stride-2 into a 2x2 pixel-unshuffle
+    # (12ch@640^2 -> 48ch@320^2) before a stride-1 conv, so the first matmul
+    # runs 4x more input channels per MXU pass (an MFU experiment knob —
+    # changes weight shapes vs the reference stem, so it is opt-in;
+    # cfg model.backbone.space_to_depth)
+    space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -44,7 +50,13 @@ class CSPBackboneP6(nn.Module):
         ch = self.channels_list
         blk = get_basic_block(self.basic_mode)
         stage_cls = nn.remat(BepC3, static_argnums=(2,)) if self.remat else BepC3
-        x = blk(ch[0], 3, 2, dtype=self.dtype, name="stem")(x, train)
+        if self.space_to_depth:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            x = blk(ch[0], 3, 1, dtype=self.dtype, name="stem")(x, train)
+        else:
+            x = blk(ch[0], 3, 2, dtype=self.dtype, name="stem")(x, train)
         outputs = []
         for i in range(1, 6):
             x = blk(ch[i], 3, 2, dtype=self.dtype, name=f"down_{i}")(x, train)

@@ -121,6 +121,8 @@ class Detector(nn.Module):
     anchors_init: Optional[Sequence[Sequence[float]]] = None  # fuseab only
     # rematerialize backbone CSP stages (memory/FLOPs trade for big configs)
     remat: bool = False
+    # space-to-depth stem on the CSP backbone (MFU knob, opt-in)
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -140,6 +142,7 @@ class Detector(nn.Module):
                 basic_mode=self.basic_mode,
                 csp_e=self.csp_e,
                 remat=self.remat,
+                space_to_depth=self.space_to_depth,
                 dtype=self.dtype,
                 name="backbone",
             )
@@ -253,6 +256,7 @@ def build_model(
         csp_e=bb.get("csp_e", 0.5),
         basic_mode=cfg.get("training_mode", "conv_silu"),
         remat=bool(m.get("remat", False)),
+        space_to_depth=bool(bb.get("space_to_depth", False)),
         dtype=dtype,
         head_type=(
             "fuseab" if fuse_ab else "distill_ns" if distill_ns else "effidehead"
