@@ -178,6 +178,8 @@ def write_gen1_fixture(
     seed: int = 0,
     learnable: bool = False,
     blosc: bool = False,
+    box_w: Tuple[float, float] = (20.0, 80.0),
+    box_h: Tuple[float, float] = (20.0, 60.0),
 ):
     """Synthetic Gen1-layout HDF5 for tests.
 
@@ -219,15 +221,15 @@ def write_gen1_fixture(
             per = rng.integers(1, 4, n)
             offsets = np.cumsum(per)
             total = int(offsets[-1])
-            bw = rng.uniform(20, 80, total)
-            bh = rng.uniform(20, 60, total)
+            bw = rng.uniform(*box_w, total)
+            bh = rng.uniform(*box_h, total)
             gb_data["t_unique"] = np.sort(
                 rng.integers(0, 1_000_000, n)
             ).astype(np.int64)
             gb_data["offsets"] = offsets.astype(np.int64)
             cls = rng.integers(0, 2, total)
-            bx = rng.uniform(0, width - 80, total)
-            by = rng.uniform(0, height - 60, total)
+            bx = rng.uniform(0, max(width - box_w[1], 1), total)
+            by = rng.uniform(0, max(height - box_h[1], 1), total)
             event_idx = np.sort(
                 rng.integers(1000, events_per_file, n)
             ).astype(np.int64)
