@@ -31,6 +31,10 @@ def get_args_parser():
     p.add_argument("--save-predictions", type=str, default=None,
                    help="write COCO-format predictions JSON "
                         "(evaler.py:545-568 interop)")
+    p.add_argument("--half", action="store_true",
+                   help="bf16 model compute (the reference's half-precision "
+                        "eval, evaler.py:93; unblocked at 640^2 after the "
+                        "constant-folding fix)")
     p.add_argument("--override", nargs="*", default=[])
     return p
 
@@ -54,13 +58,15 @@ def main(args=None):
     ds = Gen1H5(args.data_path, task=task, num_events=ne)
     loader = EventBatchLoader(ds, args.batch_size, img_size=args.img_size,
                               shuffle=False, drop_last=False)
-    model = build_model(cfg, num_classes=nc, representation=rep,
-                        img_size=args.img_size)
 
     import functools
 
     import jax
     import jax.numpy as jnp
+
+    model = build_model(cfg, num_classes=nc, representation=rep,
+                        img_size=args.img_size,
+                        dtype=jnp.bfloat16 if args.half else jnp.float32)
 
     if args.checkpoint:
         from ..train.checkpoint import load_checkpoint

@@ -113,6 +113,10 @@ def test_eval_cli_val_speed_and_pr(gen1_fixture):
     assert "AP" not in speed
     assert speed["speed_infer_nms_ms"] > 0
 
+    # --half: bf16 compute (the reference's half-precision eval, evaler.py:93)
+    half = main(base + ["--task", "val", "--half"])
+    assert "AP" in half and np.isfinite(half["AP"])
+
 
 def test_observability_writers(tmp_path):
     from event_representation_study_tpu.utils.observability import MultiWriter
