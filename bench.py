@@ -141,6 +141,7 @@ def main():
         # (v5e, warm remote-compile cache: 389s detector, 150s aug, 148s
         # eval) with headroom for cold-cache compiles
         ("tore_throughput", 120, lambda: bench_tore(stacked, B, N)),
+        ("gwd_otmi", 150, bench_gwd_section),
         ("detector_train_steps", 600, bench_detector_steps),
         ("detector_aug_step", 260, bench_aug_step_section),
         ("detector_eval", 200, bench_eval_section),
@@ -198,6 +199,41 @@ def bench_tore(stacked, B, N):
         "tore_events_per_s": round(B * N / dt),
         "tore_ms_per_batch": round(dt * 1e3, 2),
     }
+
+
+def bench_gwd_section():
+    """GWD ranking metric (C_p) wall-clock: the quadrant OTMI protocol
+    (compute_otmi.py:96-211) on Gen1-scale samples. The reference runs this
+    on CPU through POT + sklearn threads at seconds per sample; here the
+    pairwise kernels + tiled closed-form coupling are XLA programs."""
+    from event_representation_study_tpu.events import generate_fake_events
+    from event_representation_study_tpu.metrics.otmi import otmi
+    from event_representation_study_tpu.reps.numpy_ref import ergo12_np
+
+    H, W, N = 240, 304, 50000
+    evs = []
+    for i in range(3):
+        e = generate_fake_events(N, height=H, width=W, duration_us=1_000_000,
+                                 seed=100 + i)
+        evs.append(
+            np.stack([e["x"], e["y"], e["t"], e["p"]], axis=-1).astype(
+                np.float64
+            )
+        )
+    reps = [ergo12_np(
+        np.core.records.fromarrays(
+            [e[:, 0].astype(np.int32), e[:, 1].astype(np.int32),
+             e[:, 2].astype(np.int64), e[:, 3].astype(np.int32)],
+            names="x,y,t,p",
+        ), H, W) for e in evs]
+
+    c = otmi(evs[0], reps[0], H, W, rep_size=120)  # compile + warm
+    t0 = time.perf_counter()
+    vals = [otmi(e, r, H, W, rep_size=120) for e, r in zip(evs[1:], reps[1:])]
+    dt = (time.perf_counter() - t0) / len(vals)
+    assert all(np.isfinite(v) for v in vals + [c])
+    return {"otmi_ms_per_sample": round(dt * 1e3, 1),
+            "otmi_c_p_example": round(float(vals[0]), 4)}
 
 
 def _detector_fixture():
