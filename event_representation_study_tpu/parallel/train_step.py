@@ -109,8 +109,9 @@ def make_train_step(
 
     assert mode in ("plain", "fuseab", "distill")
     assert not (mode == "distill" and teacher is None), "distill needs a teacher"
+    t_model, t_vars_default = teacher if teacher is not None else (None, None)
 
-    def loss_fn(params, batch_stats, batch: Batch, epoch):
+    def loss_fn(params, batch_stats, batch: Batch, epoch, t_vars=None):
         imgs = images_of(batch)
         outputs, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -139,7 +140,6 @@ def make_train_step(
             # index from the ends so both unpack (effidehead_distill_ns.py)
             feats, cls, reg = outputs[0], outputs[1], outputs[-1]
             feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
-            t_model, t_vars = teacher
             t_out = t_model.apply(t_vars, imgs, True, mutable=["batch_stats"])[0]
             # teacher train-mode outputs; distill_ns heads add reg_dist last
             t_feats, t_cls, t_dist = t_out[0], t_out[-2], t_out[-1]
@@ -157,9 +157,13 @@ def make_train_step(
             )
         return loss, (parts, updates["batch_stats"])
 
-    def train_step(state: TrainState, batch: Batch, epoch):
+    # teacher variables travel as a REAL argument (default filled at the
+    # Python call boundary): closing over them would fold 100M+ params into
+    # the HLO as constants — the same trap that broke the round-2 eval path
+    def train_step(state: TrainState, batch: Batch, epoch,
+                   t_vars=t_vars_default):
         (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, epoch
+            state.params, state.batch_stats, batch, epoch, t_vars
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -193,9 +197,12 @@ def make_multi_train_step(
     (state, parts with (K,) arrays)."""
     step = make_train_step(model, loss_cfg, tx, donate=False, _jit=False,
                            **kwargs)
+    teacher = kwargs.get("teacher")
+    t_vars_default = teacher[1] if teacher is not None else None
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def multi_step(state: TrainState, batches: Batch, epoch):
+    def multi_step(state: TrainState, batches: Batch, epoch,
+                   t_vars=t_vars_default):
         for leaf in jax.tree.leaves(batches):
             assert leaf.shape[0] == k, (
                 f"stacked batch has leading dim {leaf.shape[0]}, expected "
@@ -203,7 +210,11 @@ def make_multi_train_step(
             )
 
         def body(st, b):
-            return step(st, b, epoch)
+            # t_vars rides multi_step's own argument list (not a closure)
+            # so a big teacher is never folded into the scanned graph
+            return step(st, b, epoch, t_vars) if t_vars is not None else step(
+                st, b, epoch
+            )
 
         return jax.lax.scan(body, state, batches)
 
