@@ -1,7 +1,9 @@
 """Event-file conversion CLI — the equivalent of ev-licious's conversion
-scripts (ev-licious/scripts/conversion/*): read any supported event format
-(.h5/.npz/.npy/.dat/.bin) and write the canonical HDF5 layout
-(events/{x,y,t,p,height,width,divider}).
+scripts (ev-licious/scripts/conversion/*, scripts/processing/
+write_events_to_rosbag.py): read any supported event format
+(.h5/.npz/.npy/.dat/.bin/.bag) and write the canonical HDF5 layout
+(events/{x,y,t,p,height,width,divider}) — or a ROS1 bag of
+dvs_msgs/EventArray messages when --output ends in .bag.
 
     python -m event_representation_study_tpu.cli.convert \
         recording.dat --output recording.h5 --height 240 --width 304
@@ -14,8 +16,8 @@ import pathlib
 
 def main(args=None):
     ap = argparse.ArgumentParser("event format conversion")
-    ap.add_argument("input", help=".h5/.npz/.npy/.dat/.bin event file")
-    ap.add_argument("--output", required=True, help="output .h5 path")
+    ap.add_argument("input", help=".h5/.npz/.npy/.dat/.bin/.bag event file")
+    ap.add_argument("--output", required=True, help="output .h5 or .bag path")
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=1_000_000,
@@ -55,11 +57,16 @@ def main(args=None):
             ev = F.refractory_period_filter(ev, height, width,
                                             depth_us=args.filter_depth_us)
 
-    with H5Writer(args.output, height=height, width=width) as w:
-        for i in range(0, max(len(ev), 1), args.chunk):
-            chunk = ev[i : i + args.chunk]
-            if len(chunk):
-                w.add(chunk["x"], chunk["y"], chunk["t"], chunk["p"])
+    if pathlib.Path(args.output).suffix == ".bag":
+        from ..events.rosbag import write_events_to_rosbag
+
+        write_events_to_rosbag(args.output, ev, height=height, width=width)
+    else:
+        with H5Writer(args.output, height=height, width=width) as w:
+            for i in range(0, max(len(ev), 1), args.chunk):
+                chunk = ev[i : i + args.chunk]
+                if len(chunk):
+                    w.add(chunk["x"], chunk["y"], chunk["t"], chunk["p"])
     print(f"wrote {len(ev)} events -> {args.output} ({height}x{width})")
     return args.output
 

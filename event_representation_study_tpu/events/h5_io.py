@@ -176,11 +176,8 @@ def load_events_from_path(path) -> np.ndarray:
 
         return read_nmnist_bin(path)
     if path.suffix == ".bag":  # rosbag handle (io/rosbag_event_handle.py)
-        try:
-            import rosbag  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "rosbag support requires the 'rosbag' package (not shipped "
-                "in this image); convert with evlicious or export to .h5"
-            ) from e
+        from .rosbag import RosbagEventHandle
+
+        h = RosbagEventHandle(path)
+        return h.get_between_idx(0, len(h))
     raise ValueError(f"unsupported event file: {path}")

@@ -86,8 +86,10 @@ def test_load_events_from_path_dispatch(tmp_path):
         back = load_events_from_path(tmp_path / suffix)
         np.testing.assert_array_equal(back["x"], ev["x"])
         np.testing.assert_array_equal(back["p"], ev["p"])
-    with pytest.raises((ImportError, ValueError)):
+    with pytest.raises(FileNotFoundError):  # .bag is a supported suffix now
         load_events_from_path(tmp_path / "missing.bag")
+    with pytest.raises(ValueError):
+        load_events_from_path(tmp_path / "missing.xyz")
 
 
 def test_gen4_raw_matches_consolidated(tmp_path):
@@ -171,3 +173,67 @@ def test_convert_cli_round_trip(tmp_path):
     back = load_events_from_path(out)
     for k in ("x", "y", "t", "p"):
         np.testing.assert_array_equal(back[k], ev[k])
+
+    # .h5 -> .bag -> load (write_events_to_rosbag script role)
+    bag = main([str(out), "--output", str(tmp_path / "out.bag")])
+    back = load_events_from_path(bag)
+    np.testing.assert_array_equal(back["t"], ev["t"])
+    np.testing.assert_array_equal(back["p"] > 0, ev["p"] > 0)
+
+
+def test_rosbag_round_trip_and_queries(tmp_path):
+    """Pure-python bag 2.0 write/read (reference rosbag_event_handle.py)."""
+    from event_representation_study_tpu.events.rosbag import (
+        RosbagEventHandle,
+        write_events_to_rosbag,
+    )
+
+    ev = _events(1200, seed=3)
+    for compression in ("none", "bz2"):
+        path = tmp_path / f"rec_{compression}.bag"
+        write_events_to_rosbag(
+            path, ev, height=100, width=120,
+            events_per_msg=256, compression=compression,
+        )
+        h = RosbagEventHandle(path)
+        assert (h.height, h.width) == (100, 120)
+        assert len(h) == 1200
+        back = h.get_between_idx(0, len(h))
+        for k in ("x", "y"):
+            np.testing.assert_array_equal(back[k], ev[k])
+        # µs timestamps survive the sec/nsec split exactly
+        np.testing.assert_array_equal(back["t"], ev["t"])
+        # bool wire polarity -> {-1,+1}
+        assert set(np.unique(back["p"])) <= {-1, 1}
+        np.testing.assert_array_equal(back["p"] > 0, ev["p"] > 0)
+
+        # time queries match the h5 handle semantics
+        t0 = int(ev["t"][200])
+        t1 = int(ev["t"][700])
+        win = h.get_between_time(t0, t1)
+        lo = np.searchsorted(ev["t"], t0)
+        hi = np.searchsorted(ev["t"], t1)
+        assert len(win) == hi - lo
+        wins = h.compute_index_windows(500, 250)
+        assert wins[0].tolist() == [0, 500]
+
+
+def test_rosbag_suffix_dispatch_and_empty(tmp_path):
+    from event_representation_study_tpu.events.h5_io import load_events_from_path
+    from event_representation_study_tpu.events.rosbag import (
+        RosbagEventHandle,
+        write_events_to_rosbag,
+    )
+
+    ev = _events(300, seed=5)
+    path = tmp_path / "rec.bag"
+    write_events_to_rosbag(path, ev, height=100, width=120, events_per_msg=64)
+    out = load_events_from_path(path)
+    assert len(out) == 300
+    np.testing.assert_array_equal(out["t"], ev["t"])
+
+    empty = tmp_path / "empty.bag"
+    write_events_to_rosbag(empty, ev[:0], height=8, width=8)
+    h = RosbagEventHandle(empty)
+    assert len(h) == 0
+    assert h.compute_time_windows(1000).shape == (0, 2)
