@@ -13,7 +13,7 @@ Output protocol (driver-capture-proof — round-2 lesson, BENCH_r02 rc=124):
 the FIRST line printed is the complete headline JSON, flushed immediately
 after the ERGO-12 measurement.  Every further metric (TORE, detector train
 steps, strong-aug step, eval decode+NMS) is emitted as its OWN JSON line,
-each gated by a wall-clock deadline (env BENCH_DEADLINE_S, default 1200 s)
+each gated by a wall-clock deadline (env BENCH_DEADLINE_S, default 1600 s)
 with a per-section cost estimate: a section whose estimated cost does not
 fit in the remaining budget prints a {"skipped": ...} line instead of
 starting.  The LAST line repeats the headline object merged with every
@@ -32,7 +32,7 @@ import time
 import numpy as np
 
 _T0 = time.monotonic()
-_DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE_S", 1200))
+_DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE_S", 1600))
 
 
 def _remaining():
@@ -145,6 +145,7 @@ def main():
         ("detector_train_steps", 600, bench_detector_steps),
         ("detector_aug_step", 260, bench_aug_step_section),
         ("detector_eval", 200, bench_eval_section),
+        ("detector_scanned_dispatch", 320, bench_scanned_dispatch_section),
     ]
     for name, est, thunk in sections:
         if _remaining() < est:
@@ -221,7 +222,7 @@ def bench_gwd_section():
             )
         )
     reps = [ergo12_np(
-        np.core.records.fromarrays(
+        np.rec.fromarrays(
             [e[:, 0].astype(np.int32), e[:, 1].astype(np.int32),
              e[:, 2].astype(np.int64), e[:, 3].astype(np.int32)],
             names="x,y,t,p",
@@ -404,11 +405,8 @@ def bench_aug_step_section():
     )
     from event_representation_study_tpu.train.losses import LossConfig
     from event_representation_study_tpu.train.optim import SolverConfig, build_optimizer
-    from event_representation_study_tpu.utils.config import load_config
 
-    B = int(os.environ.get("BENCH_DETECTOR_BATCH", 8))
-    S = int(os.environ.get("BENCH_DETECTOR_IMG", 640))
-    cfg = load_config("configs/gen1_optimized.py")
+    cfg, B, S, _, _ = _detector_fixture()  # shared env knobs + config load
 
     H, W, N, M = 240, 304, 50000, 8
     rng = np.random.default_rng(0)
@@ -465,6 +463,70 @@ def bench_aug_step_section():
     return {
         "detector_train_step_ms_bf16_aug": round(dt * 1e3, 2),
         "detector_imgs_per_s_bf16_aug": round(B / dt, 1),
+    }
+
+
+def bench_scanned_dispatch_section():
+    """K-steps-per-dispatch training throughput: the engine's
+    steps_per_dispatch path (one lax.scan program per K steps,
+    train/engine.py) — what a real training run pays per step once the
+    ~9 ms/dispatch host round trip (axon tunnel, measured) is amortized.
+    Batches are K DISTINCT stacks (realistic; the carried TrainState already
+    prevents hoisting)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        Batch,
+        init_train_state,
+        make_multi_train_step,
+        stack_batches,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import (
+        SolverConfig,
+        build_optimizer,
+    )
+
+    cfg, B, S, imgs, batch = _detector_fixture()
+    K = int(os.environ.get("BENCH_DISPATCH_K", 4))
+    rng = np.random.default_rng(7)
+    batches = [
+        batch._replace(
+            images=jnp.asarray(rng.uniform(0, 1, (B, S, S, 12)), jnp.float32)
+        )
+        for _ in range(K)
+    ]
+    stacked = jax.device_put(stack_batches(batches))
+
+    model = build_model(cfg, num_classes=2, dtype=jnp.bfloat16)
+    tx = build_optimizer(
+        jax.eval_shape(
+            functools.partial(model.init, train=True),
+            jax.random.PRNGKey(0), imgs,
+        )["params"],
+        SolverConfig(steps_per_epoch=100, epochs=10, batch_size=B),
+    )
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), imgs)
+    multi = make_multi_train_step(model, LossConfig(num_classes=2), tx, K,
+                                  img_size=S)
+    epoch = jnp.int32(10)
+    state, parts = multi(state, stacked, epoch)  # compile + warm
+    float(parts["loss"][-1])
+    iters = max(2, int(os.environ.get("BENCH_DETECTOR_ITERS", 8)) // K)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, parts = multi(state, stacked, epoch)
+    loss = float(parts["loss"][-1])
+    dt = (time.perf_counter() - t0) / (iters * K)
+    assert np.isfinite(loss)
+    return {
+        "detector_scanned_step_ms_bf16": round(dt * 1e3, 2),
+        "detector_scanned_imgs_per_s_bf16": round(B / dt, 1),
+        "scanned_k": K,
     }
 
 

@@ -103,6 +103,21 @@ def main(args=None):
     return dets
 
 
+def _stem_in_channels(variables):
+    """First 4-D conv kernel under params/backbone/stem -> its input-channel
+    count (for error messages only; returns None if the layout differs)."""
+    import jax
+
+    try:
+        stem = variables["params"]["backbone"]["stem"]
+    except (KeyError, TypeError):
+        return None
+    for leaf in jax.tree.leaves(stem):
+        if hasattr(leaf, "ndim") and leaf.ndim == 4:
+            return int(leaf.shape[2])
+    return None
+
+
 def _infer_pixels(args, source):
     """Image/video/directory demo (inferer.py:27 + datasets.py LoadData):
     letterbox each RGB frame, forward + NMS, un-letterbox detections to the
@@ -129,6 +144,25 @@ def _infer_pixels(args, source):
         from ..train.checkpoint import load_checkpoint
 
         variables = load_checkpoint(args.checkpoint)["state"]["ema"]["variables"]
+        # checkpoints trained on event representations have an N-channel
+        # stem (12 for OptimizedRepresentation, 2 for EventHistogram, ...);
+        # pixel frames are 3-channel RGB. Fail fast with an actionable
+        # message instead of a conv shape error on the first frame.
+        try:
+            jax.eval_shape(
+                lambda v, x: model.apply(v, x, False),
+                variables,
+                jnp.zeros((1, S, S, 3), jnp.float32),
+            )
+        except Exception:
+            c_in = _stem_in_channels(variables)
+            raise SystemExit(
+                f"checkpoint {args.checkpoint!r} was trained on "
+                f"{c_in or 'N'}-channel event representations and cannot "
+                "run on 3-channel image/video frames. Use an RGB-trained "
+                "checkpoint for the pixel demo, or point --source at an "
+                "event file (.h5/.npz/.dat/.bin/.bag)."
+            )
 
     @functools.partial(jax.jit, static_argnames=())
     def serve(variables, img):

@@ -75,7 +75,13 @@ def get_args_parser():
 
 
 def main(args=None):
-    args = get_args_parser().parse_args(args)
+    parser = get_args_parser()
+    args = parser.parse_args(args)
+    if args.calib and not args.quant:
+        # the reference couples these flags (tools/train.py:144-145); a bare
+        # --calib would otherwise silently run a full training instead of
+        # the calibrate-and-exit flow
+        parser.error("--calib requires --quant")
     import os
 
     if os.environ.get("WORLD_SIZE") or os.environ.get("COORDINATOR_ADDRESS") \

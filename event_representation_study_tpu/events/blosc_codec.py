@@ -386,7 +386,13 @@ class BloscDatasetView:
                 sels.append(slice(k, k + 1))
                 squeeze.append(ax)
             elif isinstance(k, slice):
-                sels.append(slice(*k.indices(self.shape[ax])))
+                start, stop, step = k.indices(self.shape[ax])
+                if step != 1:
+                    # stepped/negative-step slices: the chunk-copy path below
+                    # assumes unit stride, so match h5py semantics via a full
+                    # read (correct, if not chunk-minimal)
+                    return self._read_all()[key]
+                sels.append(slice(start, stop))
             else:
                 # fancy indexing: fall back to full read
                 return self._read_all()[key]

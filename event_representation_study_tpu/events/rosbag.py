@@ -281,6 +281,14 @@ def write_events_to_rosbag(
         )
         msgs.append((stamp_us, rec))
 
+    # IndexData v1 entries point at each message record's byte offset
+    # WITHIN the uncompressed chunk payload (rosbag seeks via these);
+    # record them while assembling the payload
+    msg_offsets: List[int] = []
+    off = len(conn_rec)
+    for _, rec in msgs:
+        msg_offsets.append(off)
+        off += len(rec)
     chunk_payload = conn_rec + b"".join(r for _, r in msgs)
     chunk_data = (
         bz2.compress(chunk_payload) if compression == "bz2" else chunk_payload
@@ -320,7 +328,8 @@ def write_events_to_rosbag(
         f.write(chunk_rec)
         # per-connection index-data record for the chunk
         idx_entries = b"".join(
-            _time_bytes(stamp) + struct.pack("<I", 0) for stamp, _ in msgs
+            _time_bytes(stamp) + struct.pack("<I", o)
+            for (stamp, _), o in zip(msgs, msg_offsets)
         )
         f.write(
             _record(

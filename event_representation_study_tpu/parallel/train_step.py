@@ -157,9 +157,13 @@ def make_train_step(
             )
         return loss, (parts, updates["batch_stats"])
 
-    # teacher variables travel as a REAL argument (default filled at the
-    # Python call boundary): closing over them would fold 100M+ params into
-    # the HLO as constants — the same trap that broke the round-2 eval path
+    # NOTE on constant folding: jit substitutes an UNPASSED default during
+    # tracing, so relying on the default still bakes the teacher into the
+    # HLO as constants (verified: lowering emits stablehlo.constant). To
+    # keep a big teacher out of the graph the caller must pass t_vars as a
+    # real argument — the Trainer does (engine.py builds a partial that
+    # forwards self.teacher[1] at every call). The default exists only as a
+    # convenience for fixture-size teachers in tests.
     def train_step(state: TrainState, batch: Batch, epoch,
                    t_vars=t_vars_default):
         (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -210,8 +214,9 @@ def make_multi_train_step(
             )
 
         def body(st, b):
-            # t_vars rides multi_step's own argument list (not a closure)
-            # so a big teacher is never folded into the scanned graph
+            # t_vars rides multi_step's own argument list; as with
+            # make_train_step, the caller must actually PASS it (the default
+            # is traced as a constant) — the Trainer's scanned path does
             return step(st, b, epoch, t_vars) if t_vars is not None else step(
                 st, b, epoch
             )

@@ -228,19 +228,19 @@ class Trainer:
             temperature=temperature,
             distill_feat=distill_feat,
         )
-        self.train_step = make_train_step(
+        self.train_step = self._with_teacher(make_train_step(
             self.model, self.loss_cfg, self.tx, **step_kwargs
-        )
+        ))
         # K steps per device dispatch (lax.scan): removes the per-step host
         # round trip; 1 = classic per-batch dispatch
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         if self.steps_per_dispatch > 1:
             from ..parallel.train_step import make_multi_train_step
 
-            self.multi_step = make_multi_train_step(
+            self.multi_step = self._with_teacher(make_multi_train_step(
                 self.model, self.loss_cfg, self.tx,
                 self.steps_per_dispatch, **step_kwargs,
-            )
+            ))
         self.evaler = Evaler(
             self.model, self.val_loader, nc, self.representation, img_size
         )
@@ -259,6 +259,21 @@ class Trainer:
         self.plot_images = plot_images
         self._plotted_train_batch = False
         self.quant_calib = quant_calib
+
+    def _with_teacher(self, step_fn):
+        """Forward the teacher variables as a REAL jit argument at every
+        call. Relying on the step's default would let jit substitute the
+        unpassed default during tracing and bake ~100M teacher params into
+        the HLO as constants (the round-2 eval constant-folding trap) — the
+        compiled program must receive them as device buffers instead."""
+        if self.teacher is None:
+            return step_fn
+        t_vars = self.teacher[1]
+
+        def step_with_teacher(state, batch, epoch):
+            return step_fn(state, batch, epoch, t_vars)
+
+        return step_with_teacher
 
     def _shard(self, batch: Batch) -> Batch:
         s = data_sharding(self.mesh)

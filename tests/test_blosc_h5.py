@@ -97,6 +97,12 @@ def test_blosc_dataset_2d_edge_chunks(tmp_path):
         np.testing.assert_array_equal(view[30:, 5:], arr[30:, 5:])
         np.testing.assert_array_equal(view[3], arr[3])
         np.testing.assert_array_equal(view[2:35:1, 18], arr[2:35, 18])
+        # stepped and negative-step slices must match h5py/ndarray semantics
+        # (the chunk-copy fast path assumes unit stride and falls back)
+        np.testing.assert_array_equal(view[::2], arr[::2])
+        np.testing.assert_array_equal(view[1:30:3, 2:17:5], arr[1:30:3, 2:17:5])
+        np.testing.assert_array_equal(view[::-1], arr[::-1])
+        np.testing.assert_array_equal(view[10:2:-2, ::4], arr[10:2:-2, ::4])
 
 
 def test_blosc_appender_incremental(tmp_path):

@@ -91,6 +91,68 @@ def test_distill_step_kd_loss_decreases():
     assert late < early, (early, late)
 
 
+def test_teacher_rides_as_argument_not_constant():
+    """jit substitutes an UNPASSED default during tracing, baking the
+    teacher pytree into the HLO as constants; passing t_vars explicitly
+    (what Trainer._with_teacher does) must keep a distinctive teacher
+    weight OUT of the lowered program text."""
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import (
+        SolverConfig,
+        build_optimizer,
+    )
+
+    cfg = load_config("configs/gen1_optimized.py", overrides=TINY)
+    B, S = 1, 64
+    batch = _tiny_batch(B, S)
+    student = build_model(cfg, num_classes=2)
+    teacher = build_model(cfg, num_classes=2)
+    t_vars = jax.jit(functools.partial(teacher.init, train=True))(
+        jax.random.PRNGKey(7), batch.images
+    )
+    marker = 0.87654321  # improbable literal; shows up in dense<...> consts
+    t_vars = jax.tree.map(
+        lambda x: jnp.full_like(x, marker)
+        if x.dtype == jnp.float32 else x, t_vars,
+    )
+    tx = build_optimizer(
+        jax.eval_shape(functools.partial(student.init, train=True),
+                       jax.random.PRNGKey(0), batch.images)["params"],
+        SolverConfig(steps_per_epoch=10, epochs=10, batch_size=B),
+    )
+    state = init_train_state(student, tx, jax.random.PRNGKey(0), batch.images)
+    step = make_train_step(
+        student, LossConfig(num_classes=2), tx, img_size=S,
+        mode="distill", teacher=(teacher, t_vars), max_epoch=10,
+        donate=False,
+    )
+    passed = step.lower(state, batch, jnp.int32(0), t_vars).as_text()
+    assert "0.876543" not in passed  # teacher arrives as arguments
+    defaulted = step.lower(state, batch, jnp.int32(0)).as_text()
+    assert "0.876543" in defaulted  # the trap the wrapper exists to avoid
+
+
+def test_trainer_wraps_step_with_teacher(gen1_fixture, tmp_path):
+    """Trainer._with_teacher must wrap both step fns so self.teacher[1] is
+    forwarded at every call (engine.py) — a bare make_train_step handle
+    would re-trigger the constant-folding trap above."""
+    from event_representation_study_tpu.train.engine import Trainer
+
+    cfg = load_config("configs/gen1_optimized.py", overrides=TINY)
+    cfg["data"]["representation"] = "EventHistogram"
+    tr = Trainer(cfg, gen1_fixture, batch_size=2, epochs=2, img_size=64,
+                 output_dir=tmp_path / "kdw", num_events=256, seed=0,
+                 distill=True, steps_per_dispatch=2)
+    assert tr.teacher is not None
+    assert tr.train_step.__name__ == "step_with_teacher"
+    assert tr.multi_step.__name__ == "step_with_teacher"
+
+
 def test_distill_weight_decay_schedule():
     from event_representation_study_tpu.train.losses_variants import (
         distill_weight_decay,
@@ -221,3 +283,14 @@ def test_cli_flags_exist():
     assert args.temperature == 10.0 and args.teacher_ckpt == "/t"
     args2 = p.parse_args(["--data-path", "/x", "--fuse-ab"])
     assert args2.fuse_ab and not args2.distill
+
+
+def test_cli_calib_requires_quant():
+    """--calib alone must fail fast (reference couples the flags,
+    tools/train.py:144-145) instead of silently training for all epochs."""
+    import pytest
+
+    from event_representation_study_tpu.cli.train import main
+
+    with pytest.raises(SystemExit):
+        main(["--data-path", "/x", "--calib"])

@@ -218,6 +218,40 @@ def test_rosbag_round_trip_and_queries(tmp_path):
         assert wins[0].tolist() == [0, 500]
 
 
+def test_rosbag_index_offsets_point_at_messages(tmp_path):
+    """IndexData v1 entries must carry each message record's byte offset
+    within the uncompressed chunk payload — real rosbag tooling seeks via
+    these (a hardcoded 0 would land on the connection record)."""
+    import struct
+
+    from event_representation_study_tpu.events import rosbag as rb
+
+    ev = _events(900, seed=7)
+    path = tmp_path / "rec.bag"
+    rb.write_events_to_rosbag(path, ev, height=64, width=64, events_per_msg=256)
+    buf = path.read_bytes()
+    records = list(rb._iter_records(buf, off=len(rb._MAGIC)))
+    chunk_payload = None
+    idx_entries = []
+    for header, data in records:
+        op = header["op"][0]
+        if op == rb._OP_CHUNK:
+            chunk_payload = data  # compression="none" -> raw payload
+        elif op == rb._OP_INDEX:
+            count = struct.unpack("<I", header["count"])[0]
+            for i in range(count):
+                _, _, off = struct.unpack_from("<III", data, i * 12)
+                idx_entries.append(off)
+    assert chunk_payload is not None and len(idx_entries) == 4  # ceil(900/256)
+    assert idx_entries[0] > 0  # past the connection record
+    assert idx_entries == sorted(set(idx_entries))
+    for off in idx_entries:
+        # each offset lands on a record whose header says op=MSG
+        hlen = struct.unpack_from("<I", chunk_payload, off)[0]
+        header = rb._parse_header(chunk_payload[off + 4 : off + 4 + hlen])
+        assert header["op"][0] == rb._OP_MSG
+
+
 def test_rosbag_suffix_dispatch_and_empty(tmp_path):
     from event_representation_study_tpu.events.h5_io import load_events_from_path
     from event_representation_study_tpu.events.rosbag import (
