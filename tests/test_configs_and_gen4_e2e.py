@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini fast lane
+
 
 CONFIGS = [
     "gen1_optimized", "gen1_optimized2", "gen1_optimized_augment",

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini fast lane
+
 from event_representation_study_tpu.utils.config import load_config
 
 TINY = ["model.depth_multiple=0.2", "model.width_multiple=0.125"]

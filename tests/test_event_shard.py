@@ -4,6 +4,8 @@ kernels (SURVEY §5 long-sequence design)."""
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini fast lane
 from jax.sharding import Mesh
 
 

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini fast lane
+
 TINY = ["model.depth_multiple=0.2", "model.width_multiple=0.125"]
 
 

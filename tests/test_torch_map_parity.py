@@ -24,6 +24,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini fast lane
+
 torch = pytest.importorskip("torch")
 
 from test_torch_parity import _stub_modules  # noqa: E402

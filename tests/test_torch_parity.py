@@ -14,6 +14,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini fast lane
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/ev-YOLOv6"

@@ -4,6 +4,8 @@ recipe relies on (engine.py:138-318 semantics)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini fast lane
+
 
 @pytest.fixture(scope="module")
 def gen1_fixture(tmp_path_factory):
