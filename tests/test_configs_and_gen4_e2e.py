@@ -100,8 +100,6 @@ def test_gen4_dat_chain_matches_npz_route(tmp_path):
     (structured dtype) -> consolidate_recordings produces byte-identical
     consolidated recordings to the npz route on the same data, and the
     result reads back through Gen4Dataset."""
-    import h5py
-
     from event_representation_study_tpu.data.gen4 import (
         Gen4Dataset,
         consolidate_npz,
@@ -145,8 +143,12 @@ def test_gen4_dat_chain_matches_npz_route(tmp_path):
     consolidate_npz(npz_files, tmp_path / "from_npz.h5")
     consolidate_recordings(dat_files, box_files, tmp_path / "from_dat.h5")
 
-    with h5py.File(tmp_path / "from_npz.h5") as a, \
-            h5py.File(tmp_path / "from_dat.h5") as b:
+    # consolidation writes Blosc-ZSTD (filter 32001); open through the
+    # framework's transparent decoder (no HDF5 plugin in this image)
+    from event_representation_study_tpu.events.blosc_codec import open_h5
+
+    with open_h5(tmp_path / "from_npz.h5") as a, \
+            open_h5(tmp_path / "from_dat.h5") as b:
         assert sorted(a.keys()) == sorted(b.keys())
         for rec in a:
             for grp in ("events", "bbox"):
