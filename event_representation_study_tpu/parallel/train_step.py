@@ -136,9 +136,10 @@ def make_train_step(
             parts = dict(parts, **parts_ab)
         elif mode == "distill":
             # plain head: (feats, cls, reg); distill_ns student head adds the
-            # extra DFL-dist conv last: (feats, cls, reg_lrtb, reg_dist) —
+            # direct-regression branch: (feats, cls, reg_lrtb, reg_dist) —
             # index from the ends so both unpack (effidehead_distill_ns.py)
             feats, cls, reg = outputs[0], outputs[1], outputs[-1]
+            ns = len(outputs) == 4
             feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
             t_out = t_model.apply(t_vars, imgs, True, mutable=["batch_stats"])[0]
             # teacher train-mode outputs; distill_ns heads add reg_dist last
@@ -146,8 +147,12 @@ def make_train_step(
             t_outputs = jax.lax.stop_gradient((t_feats, t_cls, t_dist))
             loss, parts = detection_loss_distill(
                 (feats, cls, reg), t_outputs, *gt, feat_shapes, epoch,
-                max_epoch, loss_cfg, temperature=temperature,
-                distill_feat=distill_feat,
+                max_epoch,
+                # loss_distill_ns.py has no warmup_assigner (always TAL) and
+                # adds the lrtb branch's IoU on the same assignment
+                loss_cfg._replace(warmup_epoch=0) if ns else loss_cfg,
+                temperature=temperature, distill_feat=distill_feat,
+                reg_lrtb=outputs[2] if ns else None,
             )
         else:
             feats, cls, reg = outputs

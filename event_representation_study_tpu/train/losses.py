@@ -38,6 +38,7 @@ class LossAux(NamedTuple):
     fg_mask: jnp.ndarray  # (B, A) bool
     bbox_weight: jnp.ndarray  # (B, A)
     denom: jnp.ndarray  # target-scores-sum guard
+    target_bboxes: jnp.ndarray  # (B, A, 4) assigned boxes in grid units
 
 
 class LossConfig(NamedTuple):
@@ -111,22 +112,31 @@ def detection_loss(
     pd_scores = jax.lax.stop_gradient(pred_scores)
     pd_boxes_img = jax.lax.stop_gradient(pred_bboxes) * stride_tensor
 
-    atss_out = atss_assigner(
-        anchors, list(n_anchors_list), gt_labels_, gt_bboxes, mask_gt,
-        pd_boxes_img, cfg.num_classes, topk=cfg.atss_topk,
-    )
-    tal_out = task_aligned_assigner(
-        pd_scores, pd_boxes_img, anchor_points, gt_labels_, gt_bboxes, mask_gt,
-        topk=cfg.tal_topk,
-    )
-    use_warmup = epoch < cfg.warmup_epoch
-    target_labels, target_bboxes, target_scores, fg_mask = jax.tree.map(
-        lambda a, b: jnp.where(
-            jnp.reshape(use_warmup, (1,) * a.ndim), a.astype(jnp.float32), b.astype(jnp.float32)
-        ),
-        tuple(atss_out),
-        tuple(tal_out),
-    )
+    def _warmup(_):
+        out = atss_assigner(
+            anchors, list(n_anchors_list), gt_labels_, gt_bboxes, mask_gt,
+            pd_boxes_img, cfg.num_classes, topk=cfg.atss_topk,
+        )
+        return tuple(o.astype(jnp.float32) for o in out)
+
+    def _formal(_):
+        out = task_aligned_assigner(
+            pd_scores, pd_boxes_img, anchor_points, gt_labels_, gt_bboxes,
+            mask_gt, topk=cfg.tal_topk,
+        )
+        return tuple(o.astype(jnp.float32) for o in out)
+
+    # the epoch switch (loss.py:83-111) as a lax.cond so only the active
+    # assigner EXECUTES each step (a where-merge would run both — ATSS is
+    # pure overhead for every epoch past warmup); warmup_epoch<=0 (the
+    # distill_ns loss has no warmup assigner at all) skips ATSS at trace
+    # time, keeping it out of the compiled graph entirely
+    if cfg.warmup_epoch <= 0:
+        target_labels, target_bboxes, target_scores, fg_mask = _formal(None)
+    else:
+        target_labels, target_bboxes, target_scores, fg_mask = jax.lax.cond(
+            jnp.asarray(epoch) < cfg.warmup_epoch, _warmup, _formal, None
+        )
     fg_mask = fg_mask > 0
 
     target_bboxes = target_bboxes / stride_tensor
@@ -168,6 +178,7 @@ def detection_loss(
         aux = LossAux(
             raw_cls=loss_cls, raw_iou=loss_iou, raw_dfl=loss_dfl,
             fg_mask=fg_mask, bbox_weight=bbox_weight, denom=denom,
+            target_bboxes=target_bboxes,
         )
         return loss, parts, aux
     return loss, parts

@@ -22,7 +22,7 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.boxes import bbox2dist, iou_loss
+from ..ops.boxes import bbox2dist, dist2bbox, iou_loss
 from .anchors import generate_anchors_train
 from .assigners import task_aligned_assigner
 from .losses import LossConfig, _df_loss, detection_loss, varifocal_loss
@@ -50,9 +50,18 @@ def detection_loss_fuseab(
         feat_shapes, cfg.strides
     )
     if na > 1:
-        # 'ab' mode: per-level repeat of points/strides
-        anchor_points = jnp.repeat(anchor_points, na, axis=0)
-        stride_tensor = jnp.repeat(stride_tensor, na, axis=0)
+        # 'ab' mode: per-level anchor-major TILE ([pts; pts; pts], the
+        # reference's .repeat(3,1) — anchor_generator.py:38-48) so points
+        # pair with the head's (b, na*h*w, nc) flatten order.  An
+        # element-wise repeat would mispair every prediction past anchor 0.
+        pts, sts, off = [], [], 0
+        for h, w in feat_shapes:
+            n = h * w
+            pts.append(jnp.tile(anchor_points[off:off + n], (na, 1)))
+            sts.append(jnp.tile(stride_tensor[off:off + n], (na, 1)))
+            off += n
+        anchor_points = jnp.concatenate(pts)
+        stride_tensor = jnp.concatenate(sts)
     anchor_points_s = anchor_points / stride_tensor
 
     pred = jnp.concatenate(
@@ -171,16 +180,31 @@ def detection_loss_distill(
     weight_cwd: float = 10.0,
     distill_weight_class: float = 1.0,
     distill_weight_dfl: float = 1.0,
+    reg_lrtb=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full distillation objective (loss_distill.py:62-279): the base
     detection loss' assigner pass is shared, KD terms are cosine-decayed
     (1 -> 0.01 over max_epoch) and composed as
     class*(cls + dw*d_cls) + iou*iou + dfl*(dfl + dw*d_dfl) + cwd*d_cw,
-    with fixed temperature (args.temperature, default 20 — train.py:150)."""
+    with fixed temperature (args.temperature, default 20 — train.py:150).
+
+    ``reg_lrtb`` (B, A, 4) engages the nano/small variant
+    (loss_distill_ns.py): the student's direct-regression branch is decoded
+    with ``dist2bbox`` and contributes a SECOND IoU term on the same
+    assignment (:370-392), and assignment is always TAL (no ATSS warmup,
+    :42 has no warmup_assigner) — callers pass cfg.warmup_epoch=0."""
     _, parts, aux = detection_loss(
         student_outputs, gt_labels, gt_bboxes, gt_mask, feat_shapes, epoch,
         cfg, return_aux=True,
     )
+    raw_iou = aux.raw_iou
+    if reg_lrtb is not None:
+        _, anchor_points, _, stride_tensor = generate_anchors_train(
+            feat_shapes, cfg.strides
+        )
+        pred_bboxes_lrtb = dist2bbox(reg_lrtb, anchor_points / stride_tensor)
+        iou_v = iou_loss(pred_bboxes_lrtb, aux.target_bboxes, cfg.iou_type)
+        raw_iou = raw_iou + jnp.sum((1.0 - iou_v) * aux.bbox_weight) / aux.denom
     s_feats, s_cls, s_dist = student_outputs
     t_feats, t_cls, t_dist = teacher_outputs
     d_cls = kd_cls_loss(s_cls, t_cls, temperature)
@@ -201,11 +225,12 @@ def detection_loss_distill(
     loss_dfl_all = aux.raw_dfl + d_dfl * distill_weight_dfl
     loss = (
         cfg.weight_class * loss_cls_all
-        + cfg.weight_iou * aux.raw_iou
+        + cfg.weight_iou * raw_iou
         + cfg.weight_dfl * loss_dfl_all
         + weight_cwd * d_cw
     )
     parts = dict(parts, kd_cls=d_cls, kd_dfl=d_dfl, kd_cw=d_cw,
                  cls=cfg.weight_class * loss_cls_all,
+                 iou=cfg.weight_iou * raw_iou,
                  dfl=cfg.weight_dfl * loss_dfl_all)
     return loss, parts
