@@ -114,6 +114,11 @@ class ConfusionMatrix:
                 if li.shape[0] > 1:
                     m = m[m[:, 2].argsort()[::-1]]
                     m = m[np.unique(m[:, 1], return_index=True)[1]]
+                    # unlike process_batch, the reference RE-SORTS by IoU
+                    # before the label dedup (metrics.py:235-238): a GT
+                    # matched by several retained detections keeps the
+                    # highest-IoU one, not the lowest det index
+                    m = m[m[:, 2].argsort()[::-1]]
                     m = m[np.unique(m[:, 0], return_index=True)[1]]
             else:
                 m = np.zeros((0, 3))
