@@ -199,6 +199,13 @@ class Trainer:
                 self.solver_cfg,
             ),
             self.accumulate,
+            # the reference ramps accumulate 1 -> 64/bs over warmup
+            # (engine.py:528-534); the ramp counts MICROSTEPS (batches),
+            # unlike the update-counted LR/momentum schedules
+            warmup_steps=max(
+                round(self.solver_cfg.warmup_epochs * len(self.train_loader)),
+                1000,
+            ),
         )
         import math
 

@@ -21,6 +21,7 @@ from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -42,9 +43,16 @@ def cosine_lf(epoch: jnp.ndarray, epochs: int, lrf: float):
     return (1 - jnp.cos(epoch * math.pi / epochs)) / 2 * (lrf - 1) + 1
 
 
-def _is_bias_or_bn(path) -> bool:
+def _group_of(path) -> str:
+    """Reference grouping (build.py:12-39): BN weights (flax 'scale') are
+    group 0 (no decay, warmup from 0), other weights group 1 (decay), every
+    bias group 2 (no decay, warmup from warmup_bias_lr)."""
     last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-    return last in ("bias", "scale")  # flax: BN scale/bias + conv bias
+    if last == "bias":
+        return "bias"
+    if last == "scale":
+        return "bn"
+    return "weight"
 
 
 def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
@@ -53,7 +61,12 @@ def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
 
     def lr_for(group: str):
         def sched(step):
-            epoch = step / cfg.steps_per_epoch
+            # LambdaLR steps once per EPOCH (engine.py prepare_for_steps ->
+            # scheduler.step()), so the cosine is a per-epoch staircase —
+            # floor(step/steps_per_epoch), not a smooth per-step curve; the
+            # warmup interp targets initial_lr * lf(self.epoch) with the
+            # same integer epoch (engine.py:536-540)
+            epoch = jnp.floor(step / cfg.steps_per_epoch)
             base = cfg.lr0 * cosine_lf(epoch, cfg.epochs, cfg.lrf)
             start = cfg.warmup_bias_lr if group == "bias" else 0.0
             w = jnp.clip(step / warmup_steps, 0.0, 1.0)
@@ -81,12 +94,13 @@ def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
         return optax.chain(*chain)
 
     labels = jax.tree_util.tree_map_with_path(
-        lambda p, _: "bias" if _is_bias_or_bn(p) else "weight", params
+        lambda p, _: _group_of(p), params
     )
     return optax.multi_transform(
         {
             "weight": sgd_group("weight", cfg.weight_decay),
             "bias": sgd_group("bias", 0.0),
+            "bn": sgd_group("bn", 0.0),
         },
         labels,
     )
@@ -98,16 +112,37 @@ def accumulation_steps(batch_size: int, nominal: int = 64) -> int:
 
 
 def with_accumulation(
-    tx: optax.GradientTransformation, k: int
+    tx: optax.GradientTransformation, k: int, warmup_steps: int = 0
 ) -> optax.GradientTransformation:
     """Gradient accumulation to the nominal effective batch
     (engine.py:526-547): average gradients over ``k`` microsteps, apply the
     inner update every k-th. optax.MultiSteps keeps the schedules' step count
     in *updates* (the reference counts microsteps — SolverConfig.
-    steps_per_epoch must therefore be given in updates/epoch when k > 1)."""
+    steps_per_epoch must therefore be given in updates/epoch when k > 1).
+
+    ``warmup_steps`` > 0 engages the reference's warmup RAMP
+    (engine.py:528-534): accumulate interpolates 1 -> k over the warmup
+    microsteps (so early updates fire every step, reaching the full window
+    by warmup end). The per-update k values are precomputed on host into a
+    lookup table (window-start semantics) since MultiSteps' schedule is a
+    function of completed updates, not microsteps."""
     if k <= 1:
         return tx
-    return optax.MultiSteps(tx, every_k_schedule=k)
+    if warmup_steps <= 0:
+        return optax.MultiSteps(tx, every_k_schedule=k)
+
+    ks, m = [], 0
+    while m < warmup_steps:
+        ki = int(max(1, np.round(np.interp(m, [0, warmup_steps], [1, k]))))
+        ks.append(ki)
+        m += ki
+    table = jnp.asarray(ks + [k], jnp.int32)
+
+    def sched(gradient_step):
+        idx = jnp.minimum(gradient_step, table.shape[0] - 1)
+        return table[idx]
+
+    return optax.MultiSteps(tx, every_k_schedule=sched)
 
 
 def find_momentum(opt_state) -> float:
