@@ -59,15 +59,27 @@ def slice_events_random(ev, length: int, rng):
     return ev[start : start + length]
 
 
-def base_augment(ev, new_w: int, rng):
-    """Random horizontal flip + shift (imagenet.py:1140-1191 base_augment)."""
+def base_augment(ev, new_w: int, rng, new_h: int = None):
+    """The reference's train-mode event augmentation (imagenet.py:1140-1191
+    base_augment): random time flip (reverse order, t -> t_max - t, invert
+    polarity), random x flip, then a +-20 px shift that DROPS events landing
+    outside the frame (not a clip)."""
+    new_h = IMAGE_H if new_h is None else new_h
     ev = ev.copy()
-    if rng.random() < 0.5:
+    if rng.random() < 0.5:  # random_time_flip (:1166-1173)
+        ev = ev[::-1].copy()
+        ev[:, 2] = ev[0, 2] - ev[:, 2]
+        ev[:, 3] = -ev[:, 3]
+    if rng.random() < 0.5:  # random_flip_events_along_x (:1157-1163)
         ev[:, 0] = new_w - 1 - ev[:, 0]
-    shift = rng.integers(-10, 11, 2)
-    ev[:, 0] = np.clip(ev[:, 0] + shift[0], 0, new_w - 1)
-    ev[:, 1] = np.clip(ev[:, 1] + shift[1], 0, IMAGE_H - 1)
-    return ev
+    shift = rng.integers(-20, 21, 2)  # random_shift_events (:1140-1154)
+    ev[:, 0] += shift[0]
+    ev[:, 1] += shift[1]
+    keep = (
+        (ev[:, 0] >= 0) & (ev[:, 0] < new_w)
+        & (ev[:, 1] >= 0) & (ev[:, 1] < new_h)
+    )
+    return ev[keep]
 
 
 @dataclasses.dataclass

@@ -179,12 +179,13 @@ def reshape_then_acc_intensity(ev, H=IMAGE_H, W=IMAGE_W):
     return inten[..., None].astype(np.float32)
 
 
-def _hot_normalize(img):
-    hot = img[img > 0.0]
-    if hot.size and hot.max() != hot.min():
-        img = img.copy()
-        img[img > 0.0] = (hot - hot.min()) / (hot.max() - hot.min())
-    return img
+def _rank_times(t):
+    """Consecutive-equal rank conversion (:521-525): quantize the (sorted)
+    timestamps to microseconds, then replace each group of equal stamps with
+    its 0-based group index."""
+    q = np.floor(t * TIME_SCALE).astype(np.int64)
+    change = np.concatenate([[True], q[1:] != q[:-1]])
+    return (np.cumsum(change) - 1).astype(np.float64)
 
 
 def _strict_sort_image(sub, H, W):
@@ -218,22 +219,37 @@ def _quantize(img, quantize_sort):
     return [np.round(img * q) / q for q in quantize_sort]
 
 
-def reshape_then_acc_sort(ev, H=IMAGE_H, W=IMAGE_W, use_image: bool = True,
+def reshape_then_acc_sort(ev, H=IMAGE_H, W=IMAGE_W, use_image: bool = False,
                           neglect_polarity: bool = False, strict: bool = False,
-                          quantize_sort=None):
-    """Sorted-time baseline (:513-838) with the reference's kwargs:
-    ``neglect_polarity`` collapses the polarities into one sort image;
-    ``strict`` re-ranks the per-pixel last events into a rigorous order;
-    ``quantize_sort`` rounds the sort image to 1/q grids (int or list);
-    ``use_image`` prepends binary event images. The reference's
-    denoise_image/denoise_sort flags call ``density_filter_event_image``,
-    which is never defined anywhere in the reference (a latent NameError) —
-    they are intentionally not reproduced."""
+                          quantize_sort=None, global_time: bool = True):
+    """Sorted-time baseline (:513-838) with the reference's kwargs and exact
+    semantics (kwarg defaults follow the dataset call, imagenet.py:1288-1298):
+
+    * times are first rewritten in place — to 0-based consecutive-equal
+      global ranks when ``global_time`` (:521-525), else to raw microsecond
+      stamps (:527-537 — the per-polarity ranks computed there are dead
+      code, never used);
+    * ``strict`` keeps each pixel's max-time event, re-ranks the survivors
+      (+1, then min-max) into a rigorous sorted image (:560-593);
+    * non-strict places the raw per-pixel max times: the reference computes
+      a hot-pixel min-max normalization into a temporary and never writes
+      it back (:597-607, :754-775), so the returned image is UNNORMALIZED —
+      reproduced faithfully;
+    * ``quantize_sort`` rounds the sort image to 1/q grids (int or list);
+    * ``use_image`` interleaves binary event images per the reference's
+      channel order [pos_img, pos_sort, neg_img, neg_sort] (:815-829).
+
+    The reference's denoise_image/denoise_sort flags call
+    ``density_filter_event_image``, which is never defined anywhere in the
+    reference (a latent NameError) — they are intentionally not reproduced."""
+    ev = np.asarray(ev, np.float64).copy()
+    ev[:, 2] = _rank_times(ev[:, 2]) if global_time else np.floor(
+        ev[:, 2] * TIME_SCALE)
     if neglect_polarity:
         sort_img = (
             _strict_sort_image(ev, H, W)
             if strict
-            else _hot_normalize(_scatter_max(ev[:, 2], ev, H, W))
+            else _scatter_max(ev[:, 2], ev, H, W)
         )
         chans = []
         if use_image:
@@ -252,16 +268,20 @@ def reshape_then_acc_sort(ev, H=IMAGE_H, W=IMAGE_W, use_image: bool = True,
         pos_sort = _strict_sort_image(pos, H, W)
         neg_sort = _strict_sort_image(neg, H, W)
     else:
-        pos_sort = _hot_normalize(_scatter_max(pos[:, 2], pos, H, W))
-        neg_sort = _hot_normalize(_scatter_max(neg[:, 2], neg, H, W))
+        pos_sort = _scatter_max(pos[:, 2], pos, H, W)
+        neg_sort = _scatter_max(neg[:, 2], neg, H, W)
     chans = []
     if use_image:
         pi = np.zeros((H, W)); ni = np.zeros((H, W))
         pi[pos[:, 1].astype(np.int64), pos[:, 0].astype(np.int64)] = 1.0
         ni[neg[:, 1].astype(np.int64), neg[:, 0].astype(np.int64)] = 1.0
-        chans.extend([pi, ni])
-    chans.extend(_quantize(pos_sort, quantize_sort))
-    chans.extend(_quantize(neg_sort, quantize_sort))
+        chans.append(pi)
+        chans.extend(_quantize(pos_sort, quantize_sort))
+        chans.append(ni)
+        chans.extend(_quantize(neg_sort, quantize_sort))
+    else:
+        chans.extend(_quantize(pos_sort, quantize_sort))
+        chans.extend(_quantize(neg_sort, quantize_sort))
     return np.stack(chans, -1).astype(np.float32)
 
 
@@ -274,59 +294,71 @@ def _clip_count(count, H, W):
     return np.minimum(count, th)
 
 
-def _avg_pool_same(img, k):
-    from scipy import ndimage
+def _pool_sum32(img, k):
+    """Window sum in float32 (avg_pool2d * k^2, count_include_pad padding).
+    Applied only to integer-valued counts, where float32 sums are exact."""
+    p = k // 2
+    pad = np.pad(img.astype(np.float32), p, constant_values=np.float32(0))
+    win = np.lib.stride_tricks.sliding_window_view(pad, (k, k))
+    return win.sum(axis=(2, 3), dtype=np.float32)
 
-    return ndimage.uniform_filter(img, size=k, mode="constant", cval=0.0)
 
-
-def _max_pool_same(img, k):
-    from scipy import ndimage
-
-    return ndimage.maximum_filter(img, size=k, mode="constant", cval=-np.inf)
+def _pool_max32(img, k):
+    """max_pool2d with -inf padding, float32."""
+    p = k // 2
+    pad = np.pad(img.astype(np.float32), p,
+                 constant_values=np.float32(-np.inf))
+    win = np.lib.stride_tricks.sliding_window_view(pad, (k, k))
+    return win.max(axis=(2, 3))
 
 
 def _rank_normalize(flat):
-    """Sorted-rank normalization (:973-990): equal values share a rank."""
+    """Sorted-rank normalization (:973-990): equal values share a rank;
+    float32 division like the reference's ``.float() / unq.shape[0]``."""
     order = np.argsort(flat, kind="stable")
     vals = flat[order]
     _, counts = np.unique(vals, return_counts=True)
-    ranks = np.repeat(np.arange(len(counts), dtype=np.float64), counts)
-    out = np.zeros_like(flat)
-    out[order] = ranks / max(len(counts), 1)
+    ranks = np.repeat(np.arange(len(counts), dtype=np.float32), counts)
+    out = np.zeros_like(flat, dtype=np.float32)
+    out[order] = ranks / np.float32(max(len(counts), 1))
     return out
 
 
 def reshape_then_acc_adj_sort(ev, H=IMAGE_H, W=IMAGE_W):
     """DiST (:873-1000): clipped counts, temporal discounting by the 5x5
     neighborhood (max-pooled extremal times over average-pooled counts),
-    then per-polarity sorted-rank images. 2 channels."""
+    then per-polarity sorted-rank images. 2 channels.
+
+    Arithmetic follows the reference's float32 op order exactly (counts and
+    scatter images are ``.float()``-cast before pooling there) — the rank
+    normalization's tie structure is precision-sensitive, so float64 math
+    here would produce systematically different rank images."""
     pos, neg = _split(ev)
-    pc = _clip_count(_count(pos, H, W), H, W)
-    nc = _clip_count(_count(neg, H, W), H, W)
+    pc = _clip_count(_count(pos, H, W), H, W).astype(np.float32)
+    nc = _clip_count(_count(neg, H, W), H, W).astype(np.float32)
     tp, tn = _times(ev, pos, neg)
-    pos_out = _scatter_max(tp, pos, H, W)
-    pos_min = _scatter_min(tp, pos, H, W)
-    neg_out = _scatter_max(tn, neg, H, W)
-    neg_min = _scatter_min(tn, neg, H, W)
+    pos_out = _scatter_max(tp, pos, H, W).astype(np.float32)
+    pos_min = _scatter_min(tp, pos, H, W).astype(np.float32)
+    neg_out = _scatter_max(tn, neg, H, W).astype(np.float32)
+    neg_min = _scatter_min(tn, neg, H, W).astype(np.float32)
     pos_min[pc == 0] = 1.0
     neg_min[nc == 0] = 1.0
 
     k = 5
-    pn = k * k * _avg_pool_same(pc, k)
-    nn_ = k * k * _avg_pool_same(nc, k)
+    kk = np.float32(k * k)
+    # k^2 * avg_pool: replicate the reference's double rounding (/25 then *25)
+    pn = kk * (_pool_sum32(pc, k) / kk)
+    nn_ = kk * (_pool_sum32(nc, k) / kk)
     with np.errstate(divide="ignore", invalid="ignore"):
-        pos_disc = (_max_pool_same(pos_out, k) + _max_pool_same(-pos_min, k)) / pn
-        neg_disc = (_max_pool_same(neg_out, k) + _max_pool_same(-neg_min, k)) / nn_
-    pos_disc = np.nan_to_num(pos_disc, posinf=0.0, neginf=0.0)
-    neg_disc = np.nan_to_num(neg_disc, posinf=0.0, neginf=0.0)
+        pos_disc = (_pool_max32(pos_out, k) + _pool_max32(-pos_min, k)) / pn
+        neg_disc = (_pool_max32(neg_out, k) + _pool_max32(-neg_min, k)) / nn_
 
     m = pc > 0
-    pos_out[m] = pos_out[m] - DISC_ALPHA * pos_disc[m]
+    pos_out[m] = pos_out[m] - np.float32(DISC_ALPHA) * pos_disc[m]
     pos_out[pos_out < 0] = 0
     pos_out[pn == 1.0] = 0
     m = nc > 0
-    neg_out[m] = neg_out[m] - DISC_ALPHA * neg_disc[m]
+    neg_out[m] = neg_out[m] - np.float32(DISC_ALPHA) * neg_disc[m]
     neg_out[neg_out < 0] = 0
     neg_out[nn_ == 1.0] = 0
 
@@ -377,6 +409,6 @@ LOADER_CHANNELS: Dict[str, int] = {
     "reshape_then_acc_exp": 2,
     "reshape_then_acc_time_pol": 2,
     "reshape_then_acc_intensity": 1,
-    "reshape_then_acc_sort": 4,
+    "reshape_then_acc_sort": 2,
     "reshape_then_acc_adj_sort": 2,
 }

@@ -162,20 +162,60 @@ def test_acc_sort_kwargs_branches():
     )
 
     ev = _ev(300, seed=3)
-    # default: [pos_img, neg_img, pos_sort, neg_sort]
-    assert reshape_then_acc_sort(ev).shape == (224, 224, 4)
+    # default (the dataset call's kwargs): [pos_sort, neg_sort], raw ranks
+    out = reshape_then_acc_sort(ev)
+    assert out.shape == (224, 224, 2)
+    assert out.max() > 1.0  # the reference's non-strict image is unnormalized
+    # use_image interleaves binary images: [pos_img, pos_sort, neg_img, neg_sort]
+    wi = reshape_then_acc_sort(ev, use_image=True)
+    assert wi.shape == (224, 224, 4)
+    assert set(np.unique(wi[..., 0])) == {0.0, 1.0}
+    assert set(np.unique(wi[..., 2])) == {0.0, 1.0}
+    np.testing.assert_array_equal(wi[..., 1], out[..., 0])
     # neglect_polarity without image: single sort channel
-    out = reshape_then_acc_sort(ev, use_image=False, neglect_polarity=True)
-    assert out.shape == (224, 224, 1)
+    assert reshape_then_acc_sort(ev, neglect_polarity=True).shape == (224, 224, 1)
     # strict ranks are min-max normalized in [0, 1]
-    s = reshape_then_acc_sort(ev, use_image=False, neglect_polarity=True,
-                              strict=True)
+    s = reshape_then_acc_sort(ev, neglect_polarity=True, strict=True)
     assert 0 <= s.min() and s.max() <= 1.0
     # quantize list expands channels; values land on the 1/q grid
-    q = reshape_then_acc_sort(ev, use_image=False, quantize_sort=[2, 4])
+    q = reshape_then_acc_sort(ev, strict=True, quantize_sort=[2, 4])
     assert q.shape == (224, 224, 4)  # 2 quantizations x 2 polarities
     vals = np.unique(np.round(q[..., 0] * 2) - q[..., 0] * 2)
     np.testing.assert_allclose(vals, 0, atol=1e-6)
+
+
+def test_base_augment_reference_semantics():
+    """imagenet.py:1140-1191: time flip reverses order / inverts polarity,
+    the +-20 shift DROPS out-of-frame events (never clips onto borders)."""
+    from event_representation_study_tpu.data.nimagenet import base_augment
+
+    ev = _ev(500, seed=5)
+    # force every branch over many draws
+    seen_timeflip = seen_drop = False
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        out = base_augment(ev, 224, rng)
+        assert (np.diff(out[:, 2]) >= 0).all()  # times stay sorted
+        assert set(np.unique(out[:, 3])) <= {-1.0, 1.0}
+        # no border pile-up: drop semantics keep coordinate histograms thin
+        assert out[:, 0].min() >= 0 and out[:, 0].max() <= 223
+        if len(out) < len(ev):
+            seen_drop = True
+        if out[0, 2] == 0 and len(out) and not np.array_equal(out, ev):
+            seen_timeflip = True
+    assert seen_drop
+    # deterministic check of the time flip: rng that flips on first draw
+    class FlipRng:
+        def __init__(self):
+            self._r = np.random.default_rng(0)
+        def random(self):
+            return 0.0  # always flip (time and x)
+        def integers(self, *a, **k):
+            return np.zeros(2, np.int64)  # no shift
+    out = base_augment(ev, 224, FlipRng())
+    np.testing.assert_allclose(out[:, 2], ev[-1, 2] - ev[::-1, 2])
+    np.testing.assert_allclose(out[:, 3], -ev[::-1, 3])
+    np.testing.assert_allclose(out[:, 0], 223 - ev[::-1, 0])
 
 
 def test_strict_sort_last_event_wins():
