@@ -96,15 +96,18 @@ class Gen1H5:
 
     def _load_bbox(self, handle, idx: int):
         """Normalized [cls, cx, cy, w, h] with the reference's clip-to-frame
-        (gen1_2yolo.py:168-184)."""
+        (gen1_2yolo.py:168-184). Numerics mirror the reference: each side is
+        normalized in float32, but stacking with the int64 class_id promotes
+        the bbox to float64, so the clip/center chain runs in f64 on the
+        f32-rounded sides (an unclipped box keeps w/h bit-exact)."""
         b = handle["bbox"]
         i0 = 0 if idx == 0 else int(b["offsets"][idx - 1])
         i1 = int(b["offsets"][idx])
-        cls = np.asarray(b["class_id"][i0:i1], np.float32)
-        x = np.asarray(b["x"][i0:i1], np.float32) / self.width
-        y = np.asarray(b["y"][i0:i1], np.float32) / self.height
-        w = np.asarray(b["w"][i0:i1], np.float32) / self.width
-        h = np.asarray(b["h"][i0:i1], np.float32) / self.height
+        cls = np.asarray(b["class_id"][i0:i1], np.float64)
+        x = (np.asarray(b["x"][i0:i1], np.float32) / self.width).astype(np.float64)
+        y = (np.asarray(b["y"][i0:i1], np.float32) / self.height).astype(np.float64)
+        w = (np.asarray(b["w"][i0:i1], np.float32) / self.width).astype(np.float64)
+        h = (np.asarray(b["h"][i0:i1], np.float32) / self.height).astype(np.float64)
         x2 = np.clip(x + w, 0, 1)
         y2 = np.clip(y + h, 0, 1)
         x1 = np.clip(x, 0, 1)
