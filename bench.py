@@ -144,6 +144,8 @@ def main():
         ("gwd_otmi", 150, bench_gwd_section),
         ("detector_train_steps", 600, bench_detector_steps),
         ("detector_aug_step", 260, bench_aug_step_section),
+        ("detector_aug_event_step", 260,
+         lambda: bench_aug_step_section(aug_mode="event")),
         ("detector_eval", 200, bench_eval_section),
         ("detector_scanned_dispatch", 320, bench_scanned_dispatch_section),
     ]
@@ -379,12 +381,15 @@ def bench_eval_section():
     return out
 
 
-def bench_aug_step_section():
+def bench_aug_step_section(aug_mode: str = "image"):
     """Full strong-aug train step: raw events -> fused rep -> mosaic/affine/
-    mixup warp (ops/warp.py routed single-gather) -> detector -> update. The
-    reference pays this in CPU workers (cv2 warps, data_augment.py); here it
-    is part of the one fused device program, so its cost shows up in step
-    time and is regression-tracked."""
+    mixup -> detector -> update. The reference pays this in CPU workers
+    (cv2 warps, data_augment.py); here it is part of the one fused device
+    program, so its cost shows up in step time and is regression-tracked.
+
+    ``aug_mode='image'`` warps the rasterized rep (ops/warp.py routed
+    single-gather, reference semantics); ``'event'`` composes the same plan
+    on event coordinates (reps/event_mosaic.py — no canvas, no gather)."""
     import functools
 
     import jax
@@ -449,7 +454,8 @@ def bench_aug_step_section():
     state = init_train_state(model, tx, jax.random.PRNGKey(0), dummy)
     step = make_train_step(model, LossConfig(num_classes=2), tx,
                            representation="OptimizedRepresentation",
-                           rep_hw=(H, W), img_size=S, donate=True)
+                           rep_hw=(H, W), img_size=S, donate=True,
+                           aug_mode=aug_mode)
     epoch = jnp.int32(10)
     state, parts = step(state, batch, epoch)
     float(parts["loss"])
@@ -460,9 +466,10 @@ def bench_aug_step_section():
     loss = float(parts["loss"])
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(loss)
+    suffix = "_aug" if aug_mode == "image" else "_aug_event"
     return {
-        "detector_train_step_ms_bf16_aug": round(dt * 1e3, 2),
-        "detector_imgs_per_s_bf16_aug": round(B / dt, 1),
+        f"detector_train_step_ms_bf16{suffix}": round(dt * 1e3, 2),
+        f"detector_imgs_per_s_bf16{suffix}": round(B / dt, 1),
     }
 
 

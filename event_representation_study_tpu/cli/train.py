@@ -36,6 +36,12 @@ def get_args_parser():
     p.add_argument("--augment", action="store_true",
                    help="enable the strong-augment recipe (mosaic/affine/"
                         "flips/mixup) from the config's data_aug hyp")
+    p.add_argument("--aug-mode", choices=("image", "event"), default="image",
+                   help="strong-aug executor: 'image' warps the rasterized "
+                        "representation (reference semantics, ops/warp.py); "
+                        "'event' composes mosaic/affine/mixup on event "
+                        "coordinates (reps/event_mosaic.py, ~4x cheaper, "
+                        "point rasterization)")
     p.add_argument("--stop-aug-last-n-epoch", type=int, default=15,
                    help="zero mosaic/mixup for the last N epochs "
                         "(engine.py:475-480)")
@@ -111,6 +117,7 @@ def main(args=None):
         num_events=args.num_events,
         seed=args.seed,
         augment=args.augment,
+        aug_mode=args.aug_mode,
         stop_aug_last_n_epoch=args.stop_aug_last_n_epoch,
         plot_images=args.plot_images,
         partner_pool=args.partner_pool,

@@ -282,6 +282,7 @@ def plan_augment_batch(
     py_rng = random.Random(int(rng.integers(2**31)))
     src_idx = np.tile(np.arange(B, dtype=np.int32)[:, None], (1, 4))
     inv_aff = np.zeros((B, 2, 3), np.float32)
+    fwd_aff = np.zeros((B, 2, 3), np.float32)
     tile_boxes = np.zeros((B, 4, 4), np.float32)
     tile_offsets = np.zeros((B, 4, 2), np.float32)
     mix_idx = np.arange(B, dtype=np.int32)
@@ -331,6 +332,10 @@ def plan_augment_batch(
             do_ud=py_rng.random() < hyp.get("flipud", 0.0),
         )
         inv_aff[i] = inv[:2].astype(np.float32)
+        # forward map canvas px -> output px (flips folded), for the
+        # event-space executor (reps/event_mosaic.py): points move through
+        # the affine directly instead of inverse-sampling pixels
+        fwd_aff[i] = np.linalg.inv(inv)[:2].astype(np.float32)
         out_labels.append(lab)
 
     # mixup blends two composed outputs (data_augment.py:87-93 beta(32,32));
@@ -354,8 +359,9 @@ def plan_augment_batch(
         labels[i, :n] = lab[:n]
         nl[i] = n
     plan = dict(
-        src_idx=src_idx, inv_affine=inv_aff, tile_boxes=tile_boxes,
-        tile_offsets=tile_offsets, mix_idx=mix_idx, mix_r=mix_r,
+        src_idx=src_idx, inv_affine=inv_aff, fwd_affine=fwd_aff,
+        tile_boxes=tile_boxes, tile_offsets=tile_offsets, mix_idx=mix_idx,
+        mix_r=mix_r,
     )
     return plan, labels, nl
 

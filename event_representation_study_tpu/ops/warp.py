@@ -19,7 +19,7 @@ consumed here.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,14 +40,20 @@ class AugPlan(NamedTuple):
     tile_offsets: jnp.ndarray  # (B, 4, 2) float32 — source px = canvas px - offset
     mix_idx: jnp.ndarray  # (B,) int32 — batch index blended in by mixup
     mix_r: jnp.ndarray  # (B,) float32 — self weight (1.0 = no mixup)
+    # canvas px -> output px (inverse of inv_affine, flips folded); consumed
+    # only by the event-space executor (reps/event_mosaic.py)
+    fwd_affine: Optional[jnp.ndarray] = None  # (B, 2, 3) float32
 
 
 def identity_plan(batch_size: int, out_size: int) -> AugPlan:
     """A no-op plan (useful to keep one compiled step across aug on/off)."""
     eye = np.tile(np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32), (batch_size, 1, 1))
-    boxes = np.tile(
-        np.array([0.0, 0.0, out_size, out_size], np.float32), (batch_size, 4, 1)
-    )
+    # tile 0 covers the frame, tiles 1-3 are empty — the planner's
+    # non-mosaic convention (plan_augment_batch); the event-space executor
+    # relies on it (tiles carry DISTINCT event streams, so overlapping
+    # boxes would double-count)
+    boxes = np.zeros((batch_size, 4, 4), np.float32)
+    boxes[:, 0] = (0.0, 0.0, out_size, out_size)
     return AugPlan(
         src_idx=np.tile(np.arange(batch_size, dtype=np.int32)[:, None], (1, 4)),
         inv_affine=eye,
@@ -55,6 +61,7 @@ def identity_plan(batch_size: int, out_size: int) -> AugPlan:
         tile_offsets=np.zeros((batch_size, 4, 2), np.float32),
         mix_idx=np.arange(batch_size, dtype=np.int32),
         mix_r=np.ones((batch_size,), np.float32),
+        fwd_affine=eye.copy(),
     )
 
 

@@ -64,6 +64,7 @@ def make_train_step(
     max_epoch: int = 300,
     temperature: float = 20.0,
     distill_feat: bool = False,
+    aug_mode: str = "image",  # strong-aug executor: "image" | "event"
 ) -> Callable:
     """Build the fused train step. If ``representation`` is given, the step
     consumes raw event blocks and builds the representation on device
@@ -83,6 +84,15 @@ def make_train_step(
         if representation and not learned
         else None
     )
+    assert aug_mode in ("image", "event")
+    if aug_mode == "event":
+        from ..reps.event_mosaic import supports_event_mosaic
+
+        if not (representation and supports_event_mosaic(representation)):
+            raise ValueError(
+                f"aug_mode='event' needs an MDES/ERGO-12/histogram-family "
+                f"on-device representation, got {representation!r}"
+            )
 
     def images_of(batch: Batch):
         if learned:
@@ -91,6 +101,17 @@ def make_train_step(
             return batch.events
         if batch.images is not None:
             return batch.images
+        if batch.aug is not None and aug_mode == "event":
+            # event-space mosaic/affine/flip/mixup: the rep is built ONCE at
+            # the model frame from transformed event coordinates — no
+            # letterbox resize, no canvas, no pixel gather
+            # (reps/event_mosaic.py; ~4x cheaper than compose_warp)
+            from ..reps.event_mosaic import mosaic_event_rep
+
+            img = mosaic_event_rep(
+                batch.events, batch.aug, representation, (H, W), img_size
+            )
+            return img[: batch.gt_labels.shape[0]] / 255.0
         # on-device: rep at sensor resolution -> letterbox to the model frame
         # (same geometry as the label path; pad 114, then /255 like
         # engine.py:628-635 prepro_data). Strong aug (mosaic/affine/flips/

@@ -75,8 +75,12 @@ def _window_mask(w, pos, num, t_s, stacking):
 
     SBN (mixed_density_event_stack.py:61-74): positional thirds + suffixes.
     SBT (:76-106): normalized-time thirds (inclusive bounds) + prefixes
-    t <= 1/2, 1/4, 1/8, 1/16 (8 windows)."""
-    numc = num[:, None]
+    t <= 1/2, 1/4, 1/8, 1/16 (8 windows).
+
+    ``num`` is the per-sample count (B,), or — on the event-mosaic path,
+    where four source streams share one event axis — a per-EVENT count
+    already shaped like ``pos`` (reps/event_mosaic.py)."""
+    numc = num[:, None] if num.ndim < pos.ndim else num
     valid = pos < numc
     if w == 0:
         return valid

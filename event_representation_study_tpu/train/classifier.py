@@ -43,22 +43,32 @@ def freeze_labels(params, mode: str):
 
 
 class PlateauScheduler:
-    """ReduceLROnPlateau (n_imagenet base/train/common_trainer.py:71-133 /
-    torch semantics): scale lr by ``factor`` after ``patience`` epochs
-    without val-metric improvement."""
+    """ReduceLROnPlateau with torch-exact semantics, as the reference
+    installs it (n_imagenet base/train/common_trainer.py:75-77:
+    ``ReduceLROnPlateau(optimizer, "max", patience=3)``): scale lr by
+    ``factor`` once MORE than ``patience`` consecutive epochs pass without
+    relative improvement (torch's default rel threshold 1e-4:
+    a > best * (1 + 1e-4) in max mode)."""
 
     def __init__(self, lr: float, mode: str = "max", factor: float = 0.1,
-                 patience: int = 2, min_lr: float = 1e-6):
+                 patience: int = 3, min_lr: float = 0.0,
+                 threshold: float = 1e-4):
         self.lr = lr
         self.mode = mode
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
         self.best = -np.inf if mode == "max" else np.inf
         self.bad = 0
 
     def step(self, metric: float) -> float:
-        improved = metric > self.best if self.mode == "max" else metric < self.best
+        if self.mode == "max":
+            improved = metric > self.best * (1.0 + self.threshold) \
+                if np.isfinite(self.best) else True
+        else:
+            improved = metric < self.best * (1.0 - self.threshold) \
+                if np.isfinite(self.best) else True
         if improved:
             self.best = metric
             self.bad = 0

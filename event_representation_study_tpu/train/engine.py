@@ -67,6 +67,7 @@ class Trainer:
         temperature: float = 20.0,
         teacher_ckpt: Optional[str] = None,
         quant_calib: bool = False,
+        aug_mode: str = "image",
     ):
         if distill and fuse_ab:
             # engine.py:78-80: "Distill models should turn off the fuse_ab"
@@ -234,6 +235,9 @@ class Trainer:
             max_epoch=epochs,
             temperature=temperature,
             distill_feat=distill_feat,
+            # "event": mosaic/affine/mixup on event coordinates
+            # (reps/event_mosaic.py) — ~4x cheaper than the image warp
+            aug_mode=aug_mode,
         )
         self.train_step = self._with_teacher(make_train_step(
             self.model, self.loss_cfg, self.tx, **step_kwargs

@@ -142,10 +142,11 @@ def test_classifier_host_images_freeze_plateau_ckpt(tmp_path):
     )
     assert body_diff == 0.0 and fc_diff > 0.0
 
-    # plateau: no improvement for patience+1 epochs halves... scales lr by 0.1
-    assert tr.plateau_step(0.5) == pytest.approx(0.01)
-    assert tr.plateau_step(0.5) == pytest.approx(0.01)
-    assert tr.plateau_step(0.5) == pytest.approx(0.01)
+    # plateau (torch ReduceLROnPlateau "max" patience=3, the reference's
+    # common_trainer.py:75-77): first call sets best, then >patience bad
+    # epochs trigger the 0.1 reduction — on the 5th call
+    for _ in range(4):
+        assert tr.plateau_step(0.5) == pytest.approx(0.01)
     assert tr.plateau_step(0.5) == pytest.approx(0.001)
 
     # checkpoint round trip (r1 gap: classifier had no save/resume)
@@ -154,6 +155,31 @@ def test_classifier_host_images_freeze_plateau_ckpt(tmp_path):
     tr.state = tr.state._replace(step=tr.state.step * 0)
     start = tr.load(tmp_path / "clf_ck")
     assert start == 4 and int(tr.state.step) == step_before
+
+
+def test_plateau_matches_torch():
+    """Trajectory parity of PlateauScheduler vs the live
+    torch.optim.lr_scheduler.ReduceLROnPlateau('max', patience=3) the
+    reference installs (common_trainer.py:75-77)."""
+    torch = pytest.importorskip("torch")
+    from event_representation_study_tpu.train.classifier import (
+        PlateauScheduler,
+    )
+
+    rng = np.random.default_rng(0)
+    metrics = list(rng.uniform(0.0, 1.0, 40))
+    # plateau phases to force reductions
+    metrics[10:16] = [0.99] * 6
+    metrics[25:35] = [0.991] * 10
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.3)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, "max", patience=3)
+    ours = PlateauScheduler(0.3)
+    for m in metrics:
+        sched.step(m)
+        lr = ours.step(float(m))
+        assert lr == pytest.approx(opt.param_groups[0]["lr"]), m
 
 
 def test_acc_sort_kwargs_branches():
