@@ -57,16 +57,24 @@ def main(args=None):
             ev = F.refractory_period_filter(ev, height, width,
                                             depth_us=args.filter_depth_us)
 
-    if pathlib.Path(args.output).suffix == ".bag":
+    out_suffix = pathlib.Path(args.output).suffix
+    if out_suffix == ".bag":
         from ..events.rosbag import write_events_to_rosbag
 
         write_events_to_rosbag(args.output, ev, height=height, width=width)
-    else:
+    elif out_suffix == ".npz":
+        # N-ImageNet-style structured payload; readable by
+        # load_events_from_path (suffix dispatch, no pickling)
+        np.savez_compressed(args.output, event_data=ev)
+    elif out_suffix in (".h5", ".hdf5"):
         with H5Writer(args.output, height=height, width=width) as w:
             for i in range(0, max(len(ev), 1), args.chunk):
                 chunk = ev[i : i + args.chunk]
                 if len(chunk):
                     w.add(chunk["x"], chunk["y"], chunk["t"], chunk["p"])
+    else:
+        ap.error(f"unsupported output format {out_suffix!r} "
+                 "(.h5/.hdf5/.npz/.bag)")
     print(f"wrote {len(ev)} events -> {args.output} ({height}x{width})")
     return args.output
 

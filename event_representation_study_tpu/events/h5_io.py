@@ -45,8 +45,12 @@ class H5EventHandle:
         return len(self.f["events/t"])
 
     def index_from_time(self, t_us: int) -> int:
-        """First event index with t >= t_us (h5_event_handle.py:10-11)."""
-        return int(np.searchsorted(self.f["events/t"], t_us))
+        """Reference lookup (h5_event_handle.py:10-11): searchsorted of
+        t_us + 1e-3, so an event exactly AT t_us belongs to the window
+        ENDING here."""
+        from .windows import find_index_from_timestamps
+
+        return int(find_index_from_timestamps(t_us, self.f["events/t"][:]))
 
     def get_between_idx(self, i0: int, i1: int) -> np.ndarray:
         g = self.f["events"]
@@ -62,21 +66,27 @@ class H5EventHandle:
         return self.get_between_idx(self.index_from_time(t0_us), self.index_from_time(t1_us))
 
     def compute_index_windows(self, window: int, stride: Optional[int] = None):
-        """Fixed-count windows (h5_event_handle.py:71-103, unit='nr')."""
-        stride = stride or window
-        n = len(self)
-        starts = np.arange(0, max(n - window + 1, 1), stride)
-        return np.stack([starts, np.minimum(starts + window, n)], axis=-1)
+        """Fixed-count END-aligned windows (h5_event_handle.py:71-103,
+        units nr/nr: ends on the stride grid, spans reaching back)."""
+        from .windows import index_windows
+
+        return index_windows(self.f["events/t"][:], window, stride)
 
     def compute_time_windows(self, window_us: int, stride_us: Optional[int] = None):
-        """Fixed-duration windows (unit='us')."""
-        stride_us = stride_us or window_us
-        t = self.f["events/t"]
-        t0, t1 = int(t[0]), int(t[-1])
-        starts = np.arange(t0, max(t1 - window_us + 1, t0 + 1), stride_us)
-        idx0 = np.searchsorted(t, starts)
-        idx1 = np.searchsorted(t, starts + window_us)
-        return np.stack([idx0, idx1], axis=-1)
+        """Fixed-duration END-aligned windows (units us/us)."""
+        from .windows import time_windows
+
+        return time_windows(self.f["events/t"][:], window_us, stride_us)
+
+    def compute_time_and_index_windows(self, step_size: int, window: int,
+                                       step_size_unit: str, window_unit: str):
+        """The reference's full (mixed-unit) form (h5_event_handle.py:71-103)."""
+        from .windows import time_and_index_windows
+
+        return time_and_index_windows(
+            self.f["events/t"][:], step_size, window, step_size_unit,
+            window_unit,
+        )
 
     def close(self):
         self.f.close()

@@ -178,7 +178,9 @@ class RosbagEventHandle:
         return len(self._t)
 
     def index_from_time(self, t_us: int) -> int:
-        return int(np.searchsorted(self._t, t_us))
+        from .windows import find_index_from_timestamps
+
+        return int(find_index_from_timestamps(t_us, self._t))
 
     def get_between_idx(self, i0: int, i1: int) -> np.ndarray:
         out = np.zeros(
@@ -196,20 +198,14 @@ class RosbagEventHandle:
         )
 
     def compute_index_windows(self, window: int, stride: Optional[int] = None):
-        stride = stride or window
-        n = len(self)
-        starts = np.arange(0, max(n - window + 1, 1), stride)
-        return np.stack([starts, np.minimum(starts + window, n)], axis=-1)
+        from .windows import index_windows
+
+        return index_windows(self._t, window, stride)
 
     def compute_time_windows(self, window_us: int, stride_us: Optional[int] = None):
-        stride_us = stride_us or window_us
-        if not len(self):
-            return np.zeros((0, 2), np.int64)
-        t0, t1 = int(self._t[0]), int(self._t[-1])
-        starts = np.arange(t0, max(t1 - window_us + 1, t0 + 1), stride_us)
-        idx0 = np.searchsorted(self._t, starts)
-        idx1 = np.searchsorted(self._t, starts + window_us)
-        return np.stack([idx0, idx1], axis=-1)
+        from .windows import time_windows
+
+        return time_windows(self._t, window_us, stride_us)
 
     def close(self):  # parity with the other handles
         pass

@@ -146,7 +146,8 @@ def test_h5writer_produces_blosc_file(tmp_path):
     assert len(h) == 150
     ev = h.get_between_idx(0, 150)
     assert ev["t"][0] == 0 and ev["t"][-1] == 1490
-    assert h.index_from_time(1000) == 100
+    # reference +1e-3 bias: the event AT 1000 joins the preceding window
+    assert h.index_from_time(1000) == 101
     h.close()
 
 

@@ -31,12 +31,14 @@ def test_h5_roundtrip_and_time_index(h5file):
     np.testing.assert_array_equal(out["x"], ev["x"])
     np.testing.assert_array_equal(out["p"], ev["p"])  # {0,1} -> {-1,1} on read
     t_mid = int(ev["t"][2500])
-    assert h.index_from_time(t_mid) == np.searchsorted(ev["t"], t_mid)
+    # evlicious lookup (+1e-3): boundary events join the preceding window
+    assert h.index_from_time(t_mid) == np.searchsorted(ev["t"], t_mid + 0.001)
     w = h.compute_index_windows(1000, 500)
     assert (w[:, 1] - w[:, 0]).max() <= 1000
+    assert w[-1, 1] == 5000  # end-aligned grid reaches the stream end
     tw = h.compute_time_windows(50_000)
     sliced = h.get_between_time(int(ev["t"][0]), int(ev["t"][0]) + 50_000)
-    assert (sliced["t"] - int(ev["t"][0]) < 50_000).all()
+    assert (sliced["t"] - int(ev["t"][0]) <= 50_000).all()
     h.close()
 
 

@@ -180,6 +180,16 @@ def test_convert_cli_round_trip(tmp_path):
     np.testing.assert_array_equal(back["t"], ev["t"])
     np.testing.assert_array_equal(back["p"] > 0, ev["p"] > 0)
 
+    # .h5 -> .npz (structured event_data, no pickling) -> load
+    npz = main([str(out), "--output", str(tmp_path / "out.npz")])
+    back = load_events_from_path(npz)
+    for k in ("x", "y", "t"):
+        np.testing.assert_array_equal(back[k], ev[k])
+
+    # unsupported output suffix is a parser error, not a mislabeled file
+    with pytest.raises(SystemExit):
+        main([str(out), "--output", str(tmp_path / "out.txt")])
+
 
 def test_rosbag_round_trip_and_queries(tmp_path):
     """Pure-python bag 2.0 write/read (reference rosbag_event_handle.py)."""
@@ -211,11 +221,14 @@ def test_rosbag_round_trip_and_queries(tmp_path):
         t0 = int(ev["t"][200])
         t1 = int(ev["t"][700])
         win = h.get_between_time(t0, t1)
-        lo = np.searchsorted(ev["t"], t0)
-        hi = np.searchsorted(ev["t"], t1)
+        lo = np.searchsorted(ev["t"], t0 + 0.001)  # evlicious +1e-3 lookup
+        hi = np.searchsorted(ev["t"], t1 + 0.001)
         assert len(win) == hi - lo
         wins = h.compute_index_windows(500, 250)
-        assert wins[0].tolist() == [0, 500]
+        # end-aligned reference grid: first window ends at stride 250 and
+        # reaches back (clipped) 500
+        assert wins[0].tolist() == [0, 250]
+        assert wins[1].tolist() == [0, 500]
 
 
 def test_rosbag_index_offsets_point_at_messages(tmp_path):
