@@ -28,6 +28,11 @@ def main(args=None):
                          "scripts/processing role; events/filters.py)")
     ap.add_argument("--filter-depth-us", type=int, default=10000)
     args = ap.parse_args(args)
+    out_suffix = pathlib.Path(args.output).suffix
+    if out_suffix not in (".h5", ".hdf5", ".npz", ".bag"):
+        # fail BEFORE loading/filtering a potentially multi-GB input
+        ap.error(f"unsupported output format {out_suffix!r} "
+                 "(.h5/.hdf5/.npz/.bag)")
 
     import numpy as np
 
@@ -57,7 +62,6 @@ def main(args=None):
             ev = F.refractory_period_filter(ev, height, width,
                                             depth_us=args.filter_depth_us)
 
-    out_suffix = pathlib.Path(args.output).suffix
     if out_suffix == ".bag":
         from ..events.rosbag import write_events_to_rosbag
 
@@ -72,9 +76,6 @@ def main(args=None):
                 chunk = ev[i : i + args.chunk]
                 if len(chunk):
                     w.add(chunk["x"], chunk["y"], chunk["t"], chunk["p"])
-    else:
-        ap.error(f"unsupported output format {out_suffix!r} "
-                 "(.h5/.hdf5/.npz/.bag)")
     print(f"wrote {len(ev)} events -> {args.output} ({height}x{width})")
     return args.output
 

@@ -67,10 +67,11 @@ class H5EventHandle:
 
     def compute_index_windows(self, window: int, stride: Optional[int] = None):
         """Fixed-count END-aligned windows (h5_event_handle.py:71-103,
-        units nr/nr: ends on the stride grid, spans reaching back)."""
+        units nr/nr: ends on the stride grid, spans reaching back).
+        Needs only the stream length — no dataset read."""
         from .windows import index_windows
 
-        return index_windows(self.f["events/t"][:], window, stride)
+        return index_windows(len(self), window, stride)
 
     def compute_time_windows(self, window_us: int, stride_us: Optional[int] = None):
         """Fixed-duration END-aligned windows (units us/us)."""

@@ -200,7 +200,7 @@ class RosbagEventHandle:
     def compute_index_windows(self, window: int, stride: Optional[int] = None):
         from .windows import index_windows
 
-        return index_windows(self._t, window, stride)
+        return index_windows(len(self._t), window, stride)
 
     def compute_time_windows(self, window_us: int, stride_us: Optional[int] = None):
         from .windows import time_windows

@@ -58,11 +58,11 @@ def time_and_index_windows(t, step_size: int, window: int,
     return (timestamps0, timestamps1), (i0, i1)
 
 
-def index_windows(t, window: int, stride: int | None = None) -> np.ndarray:
-    """(n, 2) fixed-count windows — the reference's nr/nr grid, but with
-    the per-window (i0, i1) pairing kept aligned (no i0 dedup)."""
+def index_windows(n: int, window: int, stride: int | None = None) -> np.ndarray:
+    """(k, 2) fixed-count windows — the reference's nr/nr grid, but with
+    the per-window (i0, i1) pairing kept aligned (no i0 dedup). Takes the
+    stream LENGTH, not the timestamps: the count grid needs no I/O."""
     stride = stride or window
-    n = len(t)
     if n == 0:
         return np.zeros((0, 2), np.int64)
     i1 = np.arange(stride, n + 1, stride)

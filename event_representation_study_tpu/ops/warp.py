@@ -65,29 +65,17 @@ def identity_plan(batch_size: int, out_size: int) -> AugPlan:
     )
 
 
-def compose_warp(
-    images: jnp.ndarray,  # (P, H, W, C) — letterboxed reps, 0..255 scale
-    plan: AugPlan,
-    out_size: int,
-    pad_value: float = PAD_VALUE,
-) -> jnp.ndarray:
-    """Execute the plan: mosaic-route + affine-sample + mixup-blend.
+def route_output_pixels(plan: AugPlan, out_size: int):
+    """Per-output-pixel routing shared by the image executor here and the
+    event executor's background mask (reps/event_mosaic.py): map every
+    output pixel through the inverse affine into canvas space, test the 4
+    (disjoint) tile boxes, and resolve the source-space sample position.
 
-    ``images`` may have MORE rows than the plan's batch (a dataset-wide
-    partner pool, loader ``partner_pool``); output rows follow the plan.
-
-    The mosaic tiles are disjoint in canvas space, so each output pixel is
-    routed to exactly one source image FIRST (argmax over the 4 tile tests),
-    then its full 2x2 bilinear patch is fetched with ONE lax.gather of
-    (1, 2, 2, C) slices from a 1-px-padded source — one gather row per
-    output pixel instead of four. TPU gathers are row-count-bound
-    (measured: 96 ms vs 303 ms per 8x640^2x12 batch for the 4-row variant,
-    450 ms for per-tile gathers), so this is the difference between the
-    warp dominating the strong-aug train step and riding along.
-
-    Returns (B, out_size, out_size, C) with B = plan rows."""
+    Returns (sx, sy, src, covered): source-pixel coords (B, S, S) f32,
+    routed source row id (B, S, S) i32, and the any-tile coverage mask.
+    One definition keeps the two executors' boundary conventions (>=/<,
+    argmax-first-hit) from ever diverging."""
     B = plan.src_idx.shape[0]
-    P, H, W, C = images.shape
     ys, xs = jnp.mgrid[0:out_size, 0:out_size]
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
@@ -112,7 +100,7 @@ def compose_warp(
         # a where-chain, not take_along_axis: per-pixel gathers over a
         # 4-entry table are still row-count-bound gathers on TPU
         out = jnp.broadcast_to(table[:, 0, None, None],
-                               (B, out_size, out_size))
+                               (B, out_size, out_size)).astype(table.dtype)
         for k in range(1, 4):
             out = jnp.where(tile == k, table[:, k, None, None], out)
         return out
@@ -120,6 +108,33 @@ def compose_warp(
     sx = cx - per_pixel(plan.tile_offsets[:, :, 0])
     sy = cy - per_pixel(plan.tile_offsets[:, :, 1])
     src = per_pixel(plan.src_idx.astype(jnp.int32))
+    return sx, sy, src, covered
+
+
+def compose_warp(
+    images: jnp.ndarray,  # (P, H, W, C) — letterboxed reps, 0..255 scale
+    plan: AugPlan,
+    out_size: int,
+    pad_value: float = PAD_VALUE,
+) -> jnp.ndarray:
+    """Execute the plan: mosaic-route + affine-sample + mixup-blend.
+
+    ``images`` may have MORE rows than the plan's batch (a dataset-wide
+    partner pool, loader ``partner_pool``); output rows follow the plan.
+
+    The mosaic tiles are disjoint in canvas space, so each output pixel is
+    routed to exactly one source image FIRST (argmax over the 4 tile tests),
+    then its full 2x2 bilinear patch is fetched with ONE lax.gather of
+    (1, 2, 2, C) slices from a 1-px-padded source — one gather row per
+    output pixel instead of four. TPU gathers are row-count-bound
+    (measured: 96 ms vs 303 ms per 8x640^2x12 batch for the 4-row variant,
+    450 ms for per-tile gathers), so this is the difference between the
+    warp dominating the strong-aug train step and riding along.
+
+    Returns (B, out_size, out_size, C) with B = plan rows."""
+    B = plan.src_idx.shape[0]
+    P, H, W, C = images.shape
+    sx, sy, src, covered = route_output_pixels(plan, out_size)
 
     # one routed patch gather: (1, 2, 2, C) slices from the padded source;
     # the 1-px border keeps every in-range patch start valid without

@@ -167,29 +167,12 @@ def _mdes_columns_mosaic(plan, num4, t04, span4, any_neg4, stacking, E):
 def _background_mask(plan: AugPlan, out_size: int, content_lo, content_hi):
     """(B, S, S) bool: output pixel maps into some tile AND into its
     source's letterbox CONTENT region (outside -> 114 like compose_warp's
-    uncovered/pad sampling)."""
-    B = plan.src_idx.shape[0]
-    ys, xs = jnp.mgrid[0:out_size, 0:out_size]
-    xs = xs.astype(jnp.float32)
-    ys = ys.astype(jnp.float32)
-    inv = plan.inv_affine
-    cx = (inv[:, 0, 0, None, None] * xs + inv[:, 0, 1, None, None] * ys
-          + inv[:, 0, 2, None, None])
-    cy = (inv[:, 1, 0, None, None] * xs + inv[:, 1, 1, None, None] * ys
-          + inv[:, 1, 2, None, None])
-    box = plan.tile_boxes[:, :, :, None, None]  # (B, 4, 4, 1, 1)
-    inside = (
-        (cx[:, None] >= box[:, :, 0])
-        & (cx[:, None] < box[:, :, 2])
-        & (cy[:, None] >= box[:, :, 1])
-        & (cy[:, None] < box[:, :, 3])
-    )
-    tile = jnp.argmax(inside, axis=1)
-    covered = jnp.any(inside, axis=1)
-    off_x = _sel4(plan.tile_offsets[:, :, 0], tile)
-    off_y = _sel4(plan.tile_offsets[:, :, 1], tile)
-    sx = cx - off_x
-    sy = cy - off_y
+    uncovered/pad sampling). Pixel routing is the SAME code the image
+    executor runs (ops/warp.py route_output_pixels), so the two executors'
+    boundary conventions cannot diverge."""
+    from ..ops.warp import route_output_pixels
+
+    sx, sy, _, covered = route_output_pixels(plan, out_size)
     (x_lo, y_lo), (x_hi, y_hi) = content_lo, content_hi
     content = (sx >= x_lo) & (sx < x_hi) & (sy >= y_lo) & (sy < y_hi)
     return covered & content

@@ -37,26 +37,42 @@ class _AnyAttr:
 
 
 def _load_ref_h5_handle():
-    for name, attrs in [
-        ("hdf5plugin", {"Blosc": lambda **k: {}}),
-        ("evl_ref", {"__path__": [EVL]}),
-        ("evl_ref.utils", {"__path__": [f"{EVL}/utils"]}),
-        ("evl_ref.utils.render", {"_render": None,
-                                  "RenderingType": _AnyAttr()}),
-        ("evl_ref.utils.visualization", {"Visualizer": object}),
-        ("evl_ref.utils.h5_writer", {"H5Writer": object,
-                                     "H5_BLOSC_COMPRESSION_FLAGS": {}}),
-    ]:
-        if name not in sys.modules:
-            m = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(m, k, v)
-            sys.modules[name] = m
-    if "evl_ref.utils.events" not in sys.modules:
-        _load_module("evl_ref.utils.events", f"{EVL}/utils/events.py")
-        _load_module("evl_ref.utils.event_handle",
-                     f"{EVL}/utils/event_handle.py")
-    return _load_module("evl_ref.h5_event_handle", f"{EVL}/h5_event_handle.py")
+    """Load the reference handle with stub deps, then EVICT every module
+    this loader registered: leaking a fake ``hdf5plugin`` would fool
+    blosc_codec.h5py_can_decode_blosc() for the rest of the pytest session
+    and break later Blosc-compressed reads (the loaded reference modules
+    keep their own references to the stubs)."""
+    created = []
+    try:
+        for name, attrs in [
+            ("hdf5plugin", {"Blosc": lambda **k: {}}),
+            ("evl_ref", {"__path__": [EVL]}),
+            ("evl_ref.utils", {"__path__": [f"{EVL}/utils"]}),
+            ("evl_ref.utils.render", {"_render": None,
+                                      "RenderingType": _AnyAttr()}),
+            ("evl_ref.utils.visualization", {"Visualizer": object}),
+            ("evl_ref.utils.h5_writer", {"H5Writer": object,
+                                         "H5_BLOSC_COMPRESSION_FLAGS": {}}),
+        ]:
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                for k, v in attrs.items():
+                    setattr(m, k, v)
+                sys.modules[name] = m
+                created.append(name)
+        for name, path in [
+            ("evl_ref.utils.events", f"{EVL}/utils/events.py"),
+            ("evl_ref.utils.event_handle", f"{EVL}/utils/event_handle.py"),
+        ]:
+            if name not in sys.modules:
+                _load_module(name, path)
+                created.append(name)
+        created.append("evl_ref.h5_event_handle")
+        return _load_module("evl_ref.h5_event_handle",
+                            f"{EVL}/h5_event_handle.py")
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
 
 
 @pytest.fixture(scope="module")

@@ -23,37 +23,44 @@ from test_torch_parity import REF, _stub_modules  # noqa: E402
 
 
 def _load_ref_gen1():
+    """Import the reference dataset module with stub deps, then EVICT the
+    stubs from sys.modules (the imported module keeps references): a
+    leaked fake hdf5plugin would break later Blosc reads, and a leaked
+    fake 'representations' would shadow the real reference package used by
+    test_reps_live_parity."""
     _stub_modules()
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    # heavy/absent deps the module imports but these tests never execute
-    if "torch_geometric" not in sys.modules:
-        tg = types.ModuleType("torch_geometric")
-        tgd = types.ModuleType("torch_geometric.data")
+    created = []
 
+    def _stub(name, attrs):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+            created.append(name)
+        return sys.modules[name]
+
+    try:
         class Data:
             def __init__(self, **kw):
                 self.__dict__.update(kw)
 
-        tgd.Data = Data
-        tgd.Dataset = object
-        tg.data = tgd
-        sys.modules["torch_geometric"] = tg
-        sys.modules["torch_geometric.data"] = tgd
-    for name in ["hdf5plugin", "tonic", "tonic.transforms"]:
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["tonic"].transforms = sys.modules["tonic.transforms"]
-    if "representations.gen1_transforms" not in sys.modules:
-        reps = sys.modules.setdefault("representations",
-                                      types.ModuleType("representations"))
-        gt = types.ModuleType("representations.gen1_transforms")
-        gt.get_item_transform = lambda *a, **k: None
-        reps.gen1_transforms = gt
-        sys.modules["representations.gen1_transforms"] = gt
-    import importlib
+        tgd = _stub("torch_geometric.data", {"Data": Data, "Dataset": object})
+        _stub("torch_geometric", {"data": tgd})
+        _stub("hdf5plugin", {})
+        tt = _stub("tonic.transforms", {})
+        _stub("tonic", {"transforms": tt})
+        gt = _stub("representations.gen1_transforms",
+                   {"get_item_transform": lambda *a, **k: None})
+        _stub("representations", {"gen1_transforms": gt})
+        import importlib
 
-    return importlib.import_module("yolov6.data.gen1_2yolo")
+        return importlib.import_module("yolov6.data.gen1_2yolo")
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
 
 
 @pytest.fixture(scope="module")

@@ -49,36 +49,49 @@ def _scatter_extreme(src, index, dim_size, mode):
 
 
 def _stub_and_load():
-    if "torch_scatter" not in sys.modules:
-        ts = types.ModuleType("torch_scatter")
-        ts.scatter_max = lambda src, index, dim=-1, dim_size=None: (
-            _scatter_extreme(src, index, dim_size, "max"))
-        ts.scatter_min = lambda src, index, dim=-1, dim_size=None: (
-            _scatter_extreme(src, index, dim_size, "min"))
-        sys.modules["torch_scatter"] = ts
-    for name in ["tonic", "tonic.transforms"]:
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["tonic"].transforms = sys.modules["tonic.transforms"]
-    reps_stubs = {
-        "representations": [],
-        "representations.event_stack": ["EventStack"],
-        "representations.tore": ["events2ToreFeature"],
-        "representations.time_surface": ["ToTimesurface"],
-        "representations.optimized_representation": [
-            "get_optimized_representation"],
-    }
-    for name, attrs in reps_stubs.items():
+    """Stub the absent deps, load the reference module, then EVICT the
+    stubs from sys.modules (the loaded module keeps its references): a
+    leaked fake 'representations' would shadow the real reference package
+    (test_reps_live_parity) and leaked torch_scatter/tonic stubs would
+    defeat later importorskip guards."""
+    created = []
+
+    def _stub(name, attrs):
         if name not in sys.modules:
             m = types.ModuleType(name)
-            for a in attrs:
-                setattr(m, a, object())
+            for k, v in attrs.items():
+                setattr(m, k, v)
             sys.modules[name] = m
-    spec = importlib.util.spec_from_file_location("ref_nin_imagenet",
-                                                  REF_IMAGENET)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+            created.append(name)
+        return sys.modules[name]
+
+    try:
+        _stub("torch_scatter", {
+            "scatter_max": lambda src, index, dim=-1, dim_size=None: (
+                _scatter_extreme(src, index, dim_size, "max")),
+            "scatter_min": lambda src, index, dim=-1, dim_size=None: (
+                _scatter_extreme(src, index, dim_size, "min")),
+        })
+        tt = _stub("tonic.transforms", {})
+        _stub("tonic", {"transforms": tt})
+        reps_stubs = {
+            "representations": [],
+            "representations.event_stack": ["EventStack"],
+            "representations.tore": ["events2ToreFeature"],
+            "representations.time_surface": ["ToTimesurface"],
+            "representations.optimized_representation": [
+                "get_optimized_representation"],
+        }
+        for name, attrs in reps_stubs.items():
+            _stub(name, {a: object() for a in attrs})
+        spec = importlib.util.spec_from_file_location("ref_nin_imagenet",
+                                                      REF_IMAGENET)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
 
 
 @pytest.fixture(scope="module")

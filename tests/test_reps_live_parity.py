@@ -51,42 +51,60 @@ def _scatter(src, index, dim=-1, dim_size=None, reduce="sum"):
 
 
 def _load_ref_reps():
-    # a previous test may have installed a FAKE 'representations' stub
-    # (test_nimagenet_ref_parity); evict anything without a real __path__
+    """Import the real reference representations package with stub deps,
+    then EVICT the stubs and the sys.path additions (loaded modules keep
+    their references; leaked numba/tonic/torch_scatter stubs would defeat
+    later importorskip guards, and the path entries could shadow top-level
+    module names for the rest of the session)."""
+    # a previous test may have installed a FAKE 'representations' stub;
+    # evict anything without a real __path__
     mod = sys.modules.get("representations")
     if mod is not None and not getattr(mod, "__path__", None):
         for k in [k for k in sys.modules if k.startswith("representations")]:
             del sys.modules[k]
-    if "numba" not in sys.modules:
-        numba = types.ModuleType("numba")
+    created, created_scatter, path_added = [], False, []
+    try:
+        if "numba" not in sys.modules:
+            numba = types.ModuleType("numba")
 
-        def jit(*a, **k):
-            if a and callable(a[0]):
-                return a[0]
-            return lambda f: f
+            def jit(*a, **k):
+                if a and callable(a[0]):
+                    return a[0]
+                return lambda f: f
 
-        numba.jit = jit
-        numba.njit = jit
-        sys.modules["numba"] = numba
-    ts = sys.modules.setdefault("torch_scatter",
-                                types.ModuleType("torch_scatter"))
-    if not hasattr(ts, "scatter"):
-        ts.scatter = _scatter
-    for name in ["tonic", "tonic.transforms"]:
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["tonic"].transforms = sys.modules["tonic.transforms"]
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    # mixed_density_event_stack imports `representation_search.operations`
-    # as a top-level package (the reference adds this dir to sys.path in
-    # optimized_representation.py:1-8)
-    reps_dir = f"{REF_ROOT}/representations"
-    if reps_dir not in sys.path:
-        sys.path.insert(0, reps_dir)
-    import importlib
+            numba.jit = jit
+            numba.njit = jit
+            sys.modules["numba"] = numba
+            created.append("numba")
+        ts = sys.modules.get("torch_scatter")
+        if ts is None:
+            ts = types.ModuleType("torch_scatter")
+            sys.modules["torch_scatter"] = ts
+            created.append("torch_scatter")
+        if not hasattr(ts, "scatter"):
+            ts.scatter = _scatter
+            created_scatter = True
+        for name in ["tonic", "tonic.transforms"]:
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+                created.append(name)
+        sys.modules["tonic"].transforms = sys.modules["tonic.transforms"]
+        # mixed_density_event_stack imports `representation_search.operations`
+        # as a top-level package (the reference adds this dir to sys.path in
+        # optimized_representation.py:1-8)
+        for p in [REF_ROOT, f"{REF_ROOT}/representations"]:
+            if p not in sys.path:
+                sys.path.insert(0, p)
+                path_added.append(p)
+        import importlib
 
-    return importlib.import_module("representations.gen1_transforms")
+        return importlib.import_module("representations.gen1_transforms")
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
+        del created_scatter  # a foreign torch_scatter stub is left as found
+        for p in path_added:
+            sys.path.remove(p)
 
 
 def _events(n=4000, H=240, W=304, seed=0):
