@@ -23,10 +23,16 @@ def main(args=None):
     ap.add_argument("--chunk", type=int, default=1_000_000,
                     help="events per incremental write")
     ap.add_argument("--filter", action="append", default=[],
-                    choices=["hot_pixel", "background_activity", "refractory"],
-                    help="apply stream filters in order (ev-licious "
-                         "scripts/processing role; events/filters.py)")
+                    choices=["hot_pixel", "background_activity", "refractory",
+                             "random", "contrast_threshold"],
+                    help="apply stream filters in order (the five ev-licious "
+                         "filter types, tools/filters.py:23-110; "
+                         "events/filters.py)")
     ap.add_argument("--filter-depth-us", type=int, default=10000)
+    ap.add_argument("--filter-downsample", type=int, default=2,
+                    help="random filter: keep 1/N of events")
+    ap.add_argument("--filter-contrast-mult", type=int, default=2,
+                    help="contrast-threshold filter: event-count multiplier")
     args = ap.parse_args(args)
     out_suffix = pathlib.Path(args.output).suffix
     if out_suffix not in (".h5", ".hdf5", ".npz", ".bag"):
@@ -58,6 +64,11 @@ def main(args=None):
         elif name == "background_activity":
             ev = F.background_activity_filter(ev, height, width,
                                               depth_us=args.filter_depth_us)
+        elif name == "random":
+            ev = F.random_filter(ev, args.filter_downsample)
+        elif name == "contrast_threshold":
+            ev = F.contrast_threshold_filter(ev, height, width,
+                                             args.filter_contrast_mult)
         else:
             ev = F.refractory_period_filter(ev, height, width,
                                             depth_us=args.filter_depth_us)

@@ -37,13 +37,20 @@ def hot_pixel_filter(ev: np.ndarray, height: int, width: int, threshold: float =
 
 
 def background_activity_filter(ev, height: int, width: int, depth_us: int, radius: int = 1):
-    ts = np.full((height + 2 * radius, width + 2 * radius), -np.inf)
-    keep = np.zeros(len(ev), bool)
-    x, y, t = ev["x"] + radius, ev["y"] + radius, ev["t"]
+    """BackgroundActivity (tools/filters.py:57-68 + utils.py:171-179,
+    verbatim): every event splashes its timestamp onto the HALF-OPEN
+    neighborhood box [y-r, y+r) x [x-r, x+r) (the reference's slice
+    excludes the bottom/right edge and clips only at 0); an event is
+    dropped when its own pixel's stamp is POSITIVE and older than
+    ``depth_us`` — untouched pixels (stamp -inf) are kept."""
+    ts = np.full((height, width), -np.inf)
+    keep = np.ones(len(ev), bool)
+    x, y, t = ev["x"], ev["y"], ev["t"]
     for i in range(len(ev)):
-        nb = ts[y[i] - radius : y[i] + radius + 1, x[i] - radius : x[i] + radius + 1]
-        keep[i] = (t[i] - nb.max()) <= depth_us
-        ts[y[i], x[i]] = t[i]
+        t_last = ts[y[i], x[i]]
+        keep[i] = not (t_last > 0 and t[i] - t_last > depth_us)
+        ts[max(y[i] - radius, 0): y[i] + radius,
+           max(x[i] - radius, 0): x[i] + radius] = t[i]
     return ev[keep]
 
 
@@ -55,23 +62,32 @@ def random_filter(ev, downsampling_factor: int, rng: Optional[np.random.Generato
 
 
 def contrast_threshold_filter(ev, height: int, width: int, multiplier: int):
-    counter = np.zeros((height, width), np.int32)
+    """ContrastThresholdIncrease (tools/filters.py:81-95 +
+    utils.py:185-191): per-pixel SIGNED polarity accumulator — an event is
+    kept (and the accumulator reset) when |sum of polarities| reaches the
+    multiplier, so alternating-polarity noise cancels."""
+    counter = np.zeros((height, width), np.int64)
+    p = np.where(np.asarray(ev["p"]) > 0, 1, -1)
     keep = np.zeros(len(ev), bool)
     for i in range(len(ev)):
         yx = (ev["y"][i], ev["x"][i])
-        counter[yx] += 1
-        if counter[yx] >= multiplier:
+        counter[yx] += p[i]
+        if abs(counter[yx]) >= multiplier:
             counter[yx] = 0
             keep[i] = True
     return ev[keep]
 
 
 def refractory_period_filter(ev, height: int, width: int, depth_us: int):
+    """RefractoryPeriod (tools/filters.py:97-110 + utils.py:194-200): drop
+    events within ``depth_us`` OF THE LAST KEPT event at the pixel; the
+    boundary t - last == depth_us is KEPT (the reference drops only
+    strictly-inside gaps)."""
     last = np.full((height, width), -np.inf)
     keep = np.zeros(len(ev), bool)
     for i in range(len(ev)):
         yx = (ev["y"][i], ev["x"][i])
-        if ev["t"][i] - last[yx] > depth_us:
+        if ev["t"][i] - last[yx] >= depth_us:
             keep[i] = True
             last[yx] = ev["t"][i]
     return ev[keep]

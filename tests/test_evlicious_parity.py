@@ -95,6 +95,102 @@ def fixture_h5(tmp_path_factory):
     return path
 
 
+def _load_ref_filters():
+    """Load evlicious.tools.filters + utils (the five stream filters) with
+    numba stubbed to a no-op jit; returns (filters_module, Events). Stubs
+    are evicted after loading."""
+    created = []
+    try:
+        if "numba" not in sys.modules:
+            numba = types.ModuleType("numba")
+
+            def jit(*a, **k):
+                if a and callable(a[0]):
+                    return a[0]
+                return lambda f: f
+
+            numba.jit = jit
+            numba.njit = jit
+            sys.modules["numba"] = numba
+            created.append("numba")
+        # the h5-handle loader builds the full evl_ref package context and
+        # its module re-exports the real Events dataclass
+        Events = _load_ref_h5_handle().Events
+        if "evlicious" not in sys.modules:
+            top = types.ModuleType("evlicious")
+            top.Events = Events
+            sys.modules["evlicious"] = top
+            created.append("evlicious")
+        if "evl_tools" not in sys.modules:
+            pkg = types.ModuleType("evl_tools")
+            pkg.__path__ = [f"{EVL}/../tools"]
+            sys.modules["evl_tools"] = pkg
+            created.append("evl_tools")
+        created.append("evl_tools.utils")
+        _load_module("evl_tools.utils", f"{EVL}/../tools/utils.py")
+        created.append("evl_tools.filters")
+        filt = _load_module("evl_tools.filters", f"{EVL}/../tools/filters.py")
+        return filt, Events
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
+
+
+def _typed_events(n=4000, H=120, W=160, seed=2):
+    rng = np.random.default_rng(seed)
+    # stay off x==0 / y==0: the reference's uint16 `x_ - radius` underflows
+    # there when numba is stubbed to plain Python (real numba promotes to
+    # signed); away from the zero edge stubbed and compiled semantics agree
+    x = rng.integers(1, W, n).astype(np.uint16)
+    y = rng.integers(1, H, n).astype(np.uint16)
+    t = np.sort(rng.integers(1, 300_000, n)).astype(np.int64)
+    p = rng.choice([-1, 1], n).astype(np.int8)
+    # a hot pixel: 20% of events on one location
+    hot = rng.random(n) < 0.2
+    x[hot], y[hot] = 7, 9
+    ev = np.zeros(n, dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i8"),
+                            ("p", "<i4")])
+    ev["x"], ev["y"], ev["t"], ev["p"] = x, y, t, p
+    return ev, (x, y, t, p), (H, W)
+
+
+def test_filters_match_reference():
+    """All five ev-licious stream filters (tools/filters.py) vs ours on the
+    same stream: identical kept events (Random: identical count)."""
+    from event_representation_study_tpu.events import filters as F
+
+    filt, Events = _load_ref_filters()
+    ev, (x, y, t, p), (H, W) = _typed_events()
+
+    def mk():
+        return Events(x=x.copy(), y=y.copy(), t=t.copy(), p=p.copy(),
+                      width=W, height=H)
+
+    r = filt.HotPixel().insert(mk())
+    o = F.hot_pixel_filter(ev, H, W)
+    np.testing.assert_array_equal(o["t"], r.t)
+    np.testing.assert_array_equal(o["x"], r.x)
+
+    r = filt.BackgroundActivity(depth_us=5000, radius=1).insert(mk())
+    o = F.background_activity_filter(ev, H, W, depth_us=5000, radius=1)
+    np.testing.assert_array_equal(o["t"], r.t)
+    np.testing.assert_array_equal(o["x"], r.x)
+
+    r = filt.ContrastThresholdIncrease(2).insert(mk())
+    o = F.contrast_threshold_filter(ev, H, W, 2)
+    np.testing.assert_array_equal(o["t"], r.t)
+    np.testing.assert_array_equal(o["p"], r.p)
+
+    r = filt.RefractoryPeriod(depth_us=3000).insert(mk())
+    o = F.refractory_period_filter(ev, H, W, depth_us=3000)
+    np.testing.assert_array_equal(o["t"], r.t)
+    np.testing.assert_array_equal(o["x"], r.x)
+
+    r = filt.Random(3).insert(mk())
+    o = F.random_filter(ev, 3)
+    assert len(o) == len(r.t) == len(ev) // 3
+
+
 def test_index_lookup_and_slices(fixture_h5):
     from event_representation_study_tpu.events.h5_io import H5EventHandle
 
