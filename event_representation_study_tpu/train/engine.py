@@ -226,6 +226,13 @@ class Trainer:
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(seed), dummy
         )
+        from ..utils.profiling import get_model_info
+
+        LOGGER.info("Model Summary: %s", get_model_info(
+            self.model,
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            img_size=img_size, channels=int(dummy.shape[-1]),
+        ))  # the reference's thop model_info line (engine.py get_model_info)
         step_kwargs = dict(
             representation=self.representation,
             rep_hw=(self.train_ds.height, self.train_ds.width),

@@ -107,3 +107,38 @@ def test_gwd_correlation_figure(tmp_path):
     fig, r = gwd_map_correlation_figure(gwd, mAP, path=tmp_path / "fig.png")
     assert r < -0.9  # anti-correlated by construction
     assert (tmp_path / "fig.png").exists()
+
+
+def test_get_model_info():
+    """The reference's thop "Model Summary" analog (torch_utils.py:97-112):
+    params in M + GFLOPs from a 64x64 probe scaled to img_size."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.utils.config import load_config
+    from event_representation_study_tpu.utils.profiling import get_model_info
+
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125"],
+    )
+    m = build_model(cfg, num_classes=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 12)), True)
+    info = get_model_info(
+        m, {"params": v["params"], "batch_stats": v["batch_stats"]},
+        img_size=640, channels=12)
+    g = re.match(r"Params: ([\d.]+)M(, Gflops: ([\d.]+))?", info)
+    assert g, info
+    assert float(g.group(1)) > 0.5
+    if g.group(3):  # cost analysis available on this backend
+        # quadratic scaling: 640^2/64^2 = 100x the probe
+        info64 = get_model_info(
+            m, {"params": v["params"], "batch_stats": v["batch_stats"]},
+            img_size=64, channels=12)
+        g64 = re.match(r".*Gflops: ([\d.]+)", info64)
+        # 100x modulo the 2-decimal formatting of the small probe value
+        ratio = float(g.group(3)) / max(float(g64.group(1)), 1e-9)
+        assert 70 < ratio < 140, info64
