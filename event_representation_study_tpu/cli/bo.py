@@ -66,6 +66,9 @@ def main(args=None):
     g = MixedGryffin(
         build_space(cfg),
         objective=cfg.get("objective", "min"),
+        # gryffin's multi-objective mode: a hierarchy of
+        # {name, goal, tolerance, absolute} dicts, Chimera-scalarized
+        objectives=cfg.get("objectives"),
         random_seed=args.seed,
         bnn_train_steps=args.bnn_train_steps,
         bnn_draws=args.bnn_draws,

@@ -44,9 +44,18 @@ class Gryffin:
         bnn_train_steps: int = 500,
         bnn_draws: int = 200,
         feas_param: float = 1.0,
+        objectives: Optional[Sequence[Dict]] = None,
     ):
+        """``objectives`` switches on gryffin's multi-objective mode: a
+        hierarchy of ``{"name", "goal", "tolerance", "absolute"}`` dicts
+        scalarized through Chimera before the BO loop (the reference's
+        observation_processor.py:14,88); the scalarized merit is minimized
+        regardless of ``objective``."""
         self.params = list(parameters)
         self.objective = objective
+        self.objectives = list(objectives) if objectives else None
+        if self.objectives is not None:
+            self.objective = "min"  # Chimera merit is always minimized
         self.known_constraints = known_constraints
         self.rng = np.random.default_rng(random_seed)
         self.num_random = num_random
@@ -100,6 +109,11 @@ class Gryffin:
             select_diverse,
         )
 
+        if self.objectives is not None:
+            from .chimera import scalarize_observations
+
+            observations = scalarize_observations(
+                self.objectives, observations, objective_key)
         n_batch = len(sampling_strategies)
         scored = [o for o in observations if objective_key in o]
         feas = [o for o in scored if np.isfinite(o.get(objective_key, np.nan))]

@@ -104,12 +104,18 @@ class MixedGryffin:
         bnn_draws: int = 200,
         dynamic_descriptors: bool = False,
         acquisition_optimizer: str = "adam",
+        objectives: Optional[Sequence[Dict]] = None,
     ):
         # gryffin's package default is "adam" (utilities/defaults.py:11-32);
         # the study's categorical search configures "genetic"
         # (optimization.py:223)
         assert acquisition_optimizer in ("adam", "genetic")
         self.params = list(parameters)
+        # multi-objective: Chimera hierarchy scalarized to a min-merit
+        # before the BO loop (observation_processor.py:14,88)
+        self.objectives = list(objectives) if objectives else None
+        if self.objectives is not None:
+            objective = "min"
         self.cat_params = [p for p in self.params if isinstance(p, CategoricalParamD)]
         self.num_params = [
             p for p in self.params
@@ -187,6 +193,11 @@ class MixedGryffin:
         sampling_strategies: Sequence[float] = (-1, 1),
         objective_key: str = "obj",
     ) -> List[Dict]:
+        if self.objectives is not None:
+            from .chimera import scalarize_observations
+
+            observations = scalarize_observations(
+                self.objectives, observations, objective_key)
         n_batch = len(sampling_strategies)
         valid = [o for o in observations if np.isfinite(o.get(objective_key, np.nan))]
         if len(valid) < self.num_random:
