@@ -76,13 +76,20 @@ def test_hot_pixel_filter():
 
 
 def test_background_activity_filter():
-    ev = np.zeros(3, dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i8"), ("p", "<i4")])
-    ev["x"] = [5, 6, 50]
-    ev["y"] = [5, 5, 50]
-    ev["t"] = [0, 10, 20]
+    """Reference semantics (tools/filters.py:57-68 + utils.py:171-179,
+    live-pinned in test_evlicious_parity): untouched pixels are KEPT; an
+    event is dropped when its pixel's splashed stamp is positive and older
+    than depth_us; the splash box is half-open [y-r, y+r) x [x-r, x+r)."""
+    ev = np.zeros(4, dtype=[("x", "<i4"), ("y", "<i4"), ("t", "<i8"), ("p", "<i4")])
+    ev["x"] = [5, 4, 4, 50]
+    ev["y"] = [5, 4, 4, 50]
+    ev["t"] = [5, 50, 200, 300]
     out = filters.background_activity_filter(ev, 60, 60, depth_us=100, radius=1)
-    # first event has no support; second is near the first; third isolated
-    assert list(out["x"]) == [6]
+    # ev0: untouched pixel -> kept (splashes t=5 onto {4,5}x{4,5})
+    # ev1 at (4,4): stamp 5, gap 45 <= 100 -> kept (re-splashes t=50)
+    # ev2 at (4,4): stamp 50, gap 150 > 100 -> DROPPED
+    # ev3 isolated, untouched -> kept
+    assert list(out["t"]) == [5, 50, 300]
 
 
 def test_task_manager():
