@@ -239,20 +239,39 @@ class EventBatchLoader:
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        # a consumer that abandons the iterator mid-epoch (early break,
+        # generator GC) must not strand the worker on a full queue: every
+        # put is bounded and checks the cancellation flag (observed as
+        # dozens of leaked threads parked in q.put across a long pytest
+        # session, ending in an XLA-compile segfault)
+        cancelled = threading.Event()
+
+        def _put(item) -> bool:
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             for b in range(nb):
                 sel = indices[b * self.batch_size : (b + 1) * self.batch_size]
                 if len(sel) < self.batch_size and self.drop_last:
                     break
-                q.put(self._make_batch(sel))
-            q.put(stop)
+                if not _put(self._make_batch(sel)):
+                    return
+            _put(stop)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        self.epoch += 1
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+            self.epoch += 1
+        finally:
+            cancelled.set()

@@ -303,3 +303,112 @@ def sharded_tore(blocks: EventBlock, height: int, width: int, mesh: Mesh,
         # has no static replication rule, so the check is disabled
         check_vma=False,
     )(blocks.x, blocks.y, blocks.t, blocks.p, blocks.num.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "mesh", "tau", "n_slices",
+                     "interpret"),
+)
+def sharded_time_surface(blocks: EventBlock, height: int, width: int,
+                         mesh: Mesh, tau: float = 50000.0,
+                         n_slices: int = 6,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Event-sharded ToTimesurface: the per-(pixel, polarity, slice)
+    "last event time at or before the query index" is a segment MAX over
+    the event axis, so each shard reduces ITS slice with the fused kernel
+    (masks judged against GLOBAL positions) and one ``pmax`` combines the
+    partials before the exp decay — the same factorization as sharded_mdes.
+    Global query indices (searchsorted of normalized time,
+    reps/time_surface.py query_indices) become per-shard strict-less counts
+    psum'd over ICI."""
+    from ..ops.pallas_scatter import NEG_INF
+    from ..reps.fused_reps import fused_segment_reduce
+
+    hw = height * width
+
+    def shard_fn(x, y, t, p, num):
+        B_local, n_local = x.shape
+        t = t.astype(jnp.float32)
+        idx = jax.lax.axis_index("event")
+        offset = idx * n_local
+        pos = offset + jnp.broadcast_to(
+            jnp.arange(n_local, dtype=jnp.int32), (B_local, n_local)
+        )
+        valid = pos < num[:, None]
+
+        # global t0 / t_last (positions 0 and num-1)
+        t_first = jax.lax.psum(jnp.where(idx == 0, t[:, 0], 0.0), "event")
+        tgt = jnp.maximum(num - 1, 0)
+        has_last = (tgt >= offset) & (tgt < offset + n_local)
+        t_last = jax.lax.psum(
+            jnp.where(
+                has_last,
+                t[jnp.arange(B_local), jnp.clip(tgt - offset, 0, n_local - 1)],
+                0.0,
+            ),
+            "event",
+        )
+        span = jnp.maximum(t_last - t_first, 1e-30)
+        t_norm = (t - t_first[:, None]) / span[:, None] * n_slices
+        t_norm = jnp.where(valid, t_norm, jnp.float32(n_slices + 1))
+
+        # global query indices: side='left' searchsorted == count of
+        # strictly-smaller values, which psums across shards
+        targets = jnp.arange(1, n_slices + 1, dtype=jnp.float32)
+        less = (t_norm[:, :, None] < targets[None, None, :])  # (B, n, S)
+        q_idx = jax.lax.psum(less.sum(axis=1).astype(jnp.int32), "event")
+
+        # the query timestamps t[q_idx] (owned by exactly one shard)
+        own = (q_idx >= offset) & (q_idx < offset + n_local)
+        t_q = jax.lax.psum(
+            jnp.where(
+                own,
+                jnp.take_along_axis(
+                    t, jnp.clip(q_idx - offset, 0, n_local - 1), axis=1
+                ),
+                0.0,
+            ),
+            "event",
+        )  # (B, n_slices)
+        inc = jnp.concatenate(
+            [jnp.ones((B_local, 1), bool), q_idx[:, 1:] > q_idx[:, :-1]],
+            axis=1,
+        )
+        alive = jnp.cumprod(inc.astype(jnp.int32), axis=1).astype(bool)
+
+        S2 = 2 * hw
+        pol01 = (p > 0).astype(jnp.int32)
+        pix = y.astype(jnp.int32) * width + x.astype(jnp.int32)
+        seg = jnp.where(valid, pol01 * hw + pix, S2)
+
+        def columns(pos_s, t_s):
+            # pos_s rides the sort = ORIGINAL local index; global = +offset
+            gpos = offset + pos_s
+            v = gpos < num[:, None]
+            cols = [
+                jnp.where(v & (gpos <= q_idx[:, q][:, None]), t_s, NEG_INF)
+                for q in range(n_slices)
+            ]
+            vm = jnp.stack(cols, axis=1)
+            return jnp.zeros((B_local, 1, n_local)), vm
+
+        _, maxes = fused_segment_reduce(
+            seg, (t,), columns, S2, interpret=interpret,
+        )
+        maxes = jax.lax.pmax(maxes, "event")  # (B, 2hw, n_slices)
+
+        init = -(3.0 * tau + 1.0)
+        mem = jnp.where(maxes <= NEG_INF / 2, init, maxes)
+        surf = jnp.exp((mem - t_q[:, None, :]) / tau)
+        surf = jnp.where(alive[:, None, :], surf, 0.0)
+        surf = surf.reshape(B_local, 2, height, width, n_slices)
+        surf = jnp.moveaxis(surf, 1, 4)
+        return surf.reshape(B_local, height, width, n_slices * 2)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", "event"),) * 4 + (P("data"),),
+        out_specs=P("data"),
+        check_vma=False,
+    )(blocks.x, blocks.y, blocks.t, blocks.p, blocks.num.astype(jnp.int32))

@@ -226,13 +226,24 @@ class Trainer:
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(seed), dummy
         )
-        from ..utils.profiling import get_model_info
+        # the reference's thop model_info line (engine.py get_model_info);
+        # the learned-representation path feeds EventBlocks, where the 64x64
+        # image probe doesn't apply — param count only then
+        if hasattr(dummy, "shape"):
+            from ..utils.profiling import get_model_info
 
-        LOGGER.info("Model Summary: %s", get_model_info(
-            self.model,
-            {"params": self.state.params, "batch_stats": self.state.batch_stats},
-            img_size=img_size, channels=int(dummy.shape[-1]),
-        ))  # the reference's thop model_info line (engine.py get_model_info)
+            LOGGER.info("Model Summary: %s", get_model_info(
+                self.model,
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+                img_size=img_size, channels=int(dummy.shape[-1]),
+            ))
+        else:
+            n_params = sum(
+                int(np.prod(x.shape))
+                for x in jax.tree.leaves(self.state.params)
+            )
+            LOGGER.info("Model Summary: Params: %.2fM", n_params / 1e6)
         step_kwargs = dict(
             representation=self.representation,
             rep_hw=(self.train_ds.height, self.train_ds.width),

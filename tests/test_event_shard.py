@@ -132,3 +132,23 @@ def test_sharded_tore_matches_single_device():
         for i in range(2)
     ])
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_time_surface_matches_fused_kernel():
+    from event_representation_study_tpu.parallel.event_shard import (
+        place_event_sharded,
+        sharded_time_surface,
+    )
+    from event_representation_study_tpu.reps.fused_reps import (
+        time_surface_fused_batched,
+    )
+
+    H, W = 64, 80
+    evs, blocks = _batch(H=H, W=W)
+    mesh = _mesh()
+    placed = place_event_sharded(blocks, mesh)
+    got = np.asarray(
+        sharded_time_surface(placed, H, W, mesh, interpret=True))
+    want = np.asarray(time_surface_fused_batched(blocks, H, W,
+                                                 interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -132,3 +132,29 @@ def test_loader_flip_augmentation(gen1_fixture):
     lab0 = s.labels[: s.num_labels]
     got = np.asarray(batch.gt_labels[0])  # classes unchanged
     np.testing.assert_array_equal(got[: s.num_labels], lab0[:, 0].astype(np.int32))
+
+
+def test_loader_abandoned_iterator_frees_worker(gen1_fixture):
+    """Breaking out of a loader epoch must not strand the prefetch worker
+    on a full queue (observed as dozens of leaked threads across a long
+    pytest session, ending in an XLA-compile segfault)."""
+    import threading
+    import time
+
+    from event_representation_study_tpu.data.gen1 import Gen1H5
+    from event_representation_study_tpu.data.loader import EventBatchLoader
+
+    ds = Gen1H5(gen1_fixture, task="train", num_events=2048, max_boxes=8)
+    baseline = threading.active_count()
+    for _ in range(5):
+        it = iter(EventBatchLoader(ds, batch_size=2, shuffle=False,
+                                   prefetch=1))
+        next(it)  # consume one batch, abandon the rest
+        del it
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if threading.active_count() <= baseline:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= baseline, (
+        threading.active_count(), baseline)
