@@ -229,7 +229,28 @@ def test_train_step_dp_x_tp():
     """dp x tp over a 2-D (data x model) mesh: parameters (and the optax
     trace + EMA mirroring them) sharded output-channel over "model", batch
     over "data"; the step must produce the same loss as the replicated run
-    and keep the update sharded."""
+    and keep the update sharded.
+
+    Runs in a FRESH subprocess: the big GSPMD compile reproducibly
+    segfaults XLA's CPU backend late in a long single-process pytest
+    session (compiler.py backend_compile_and_load, observed twice at
+    ~260 tests in) while passing standalone — process isolation keeps the
+    coverage without the crash taking the whole suite down."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("ERS_DP_TP_IN_SUBPROCESS") != "1":
+        env = dict(os.environ, ERS_DP_TP_IN_SUBPROCESS="1")
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             f"{__file__}::test_train_step_dp_x_tp"],
+            env=env, capture_output=True, text=True, timeout=3000,
+        )
+        assert proc.returncode == 0, (
+            proc.stdout[-2000:] + "\n" + proc.stderr[-2000:])
+        return
+
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from event_representation_study_tpu.events import (
