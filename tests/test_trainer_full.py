@@ -19,6 +19,26 @@ def gen1_fixture(tmp_path_factory):
 
 
 def test_multi_epoch_stopaug_and_resume(gen1_fixture, tmp_path):
+    """Runs in a FRESH subprocess: like the dp x tp GSPMD compile
+    (test_train.py::test_train_step_dp_x_tp), this test's pjit compile
+    reproducibly segfaults XLA's CPU backend late in a long single-process
+    pytest session (backend_compile_and_load, observed at ~80% suite in
+    two consecutive full runs) while passing standalone."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("ERS_TRAINER_FULL_IN_SUBPROCESS") != "1":
+        env = dict(os.environ, ERS_TRAINER_FULL_IN_SUBPROCESS="1")
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             f"{__file__}::test_multi_epoch_stopaug_and_resume"],
+            env=env, capture_output=True, text=True, timeout=3000,
+        )
+        assert proc.returncode == 0, (
+            proc.stdout[-2000:] + "\n" + proc.stderr[-2000:])
+        return
+
     from event_representation_study_tpu.train.checkpoint import restore_train_state
     from event_representation_study_tpu.train.engine import Trainer
     from event_representation_study_tpu.utils.config import load_config
