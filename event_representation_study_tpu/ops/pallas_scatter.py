@@ -42,6 +42,12 @@ TILE_S = 512  # pixels per tile
 # tiles are strictly worse (T1024+: 26-40 ms, the (E, TILE) one-hot
 # compare/mask work on the VPU dominates). 128 keeps the one-hot small
 # while the while-loop amortizes chunk overhead.
+# Round-3 downward sweep (scripts/pallas_tile_sweep.py, same timing):
+# T256/E128 23.4 ms, T256/E256 25.5, T128/E128 27.9, T128/E256 32.9 vs
+# T512/E128 21.0 — smaller tiles LOSE: the grid-instance fixed cost
+# (accumulator init + output write + loop setup, B*num_tiles instances)
+# outgrows the one-hot savings. T512/E128 is the measured optimum in both
+# directions.
 E_CHUNK = 128
 
 NEG_INF = -3.4e38
