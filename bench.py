@@ -518,8 +518,9 @@ def bench_scanned_dispatch_section():
         SolverConfig(steps_per_epoch=100, epochs=10, batch_size=B),
     )
     state = init_train_state(model, tx, jax.random.PRNGKey(0), imgs)
+    ema_cadence = os.environ.get("BENCH_EMA_CADENCE", "step")
     multi = make_multi_train_step(model, LossConfig(num_classes=2), tx, K,
-                                  img_size=S)
+                                  ema_cadence=ema_cadence, img_size=S)
     epoch = jnp.int32(10)
     state, parts = multi(state, stacked, epoch)  # compile + warm
     float(parts["loss"][-1])
@@ -534,6 +535,7 @@ def bench_scanned_dispatch_section():
         "detector_scanned_step_ms_bf16": round(dt * 1e3, 2),
         "detector_scanned_imgs_per_s_bf16": round(B / dt, 1),
         "scanned_k": K,
+        "ema_cadence": ema_cadence,
     }
 
 

@@ -48,6 +48,12 @@ def get_args_parser():
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="train K steps per device dispatch (lax.scan); "
                         "removes the per-step host round trip")
+    p.add_argument("--ema-cadence", choices=("step", "dispatch"),
+                   default="step",
+                   help="with --steps-per-dispatch>1: blend the EMA once "
+                        "per dispatch (exact product of the K per-step "
+                        "decays) instead of every step — removes (K-1)/K "
+                        "of the EMA's HBM traffic")
     p.add_argument("--partner-pool", type=int, default=0,
                    help="with --augment: extra dataset-wide samples per batch "
                         "as mosaic/mixup partners (the reference's random-"
@@ -122,6 +128,7 @@ def main(args=None):
         plot_images=args.plot_images,
         partner_pool=args.partner_pool,
         steps_per_dispatch=args.steps_per_dispatch,
+        ema_cadence=args.ema_cadence,
         fuse_ab=args.fuse_ab,
         distill=args.distill,
         distill_feat=args.distill_feat,

@@ -52,6 +52,13 @@ E_CHUNK = 128
 
 NEG_INF = -3.4e38
 
+# per-instance VMEM budget for the double-buffered (seg + sum + max) event
+# streams; streams longer than budget/(8*(ks+km+1)) are split into aligned
+# chunks ridden as extra batch rows (see fused_segment_reduce). 12 MB leaves
+# headroom under the ~16 MB scoped-vmem limit for the (K, TILE_S) output
+# accumulators. Module-level so tests can shrink it to exercise chunking.
+EV_VMEM_BYTES = 12 * 2**20
+
 
 def _kernel_sum_only(offs_ref, seg_ref, vsum_ref, out_sum_ref):
     """Sum-columns-only variant: histogram/voxel-style reps have no max
@@ -177,6 +184,36 @@ def fused_segment_reduce(
     if km:
         vm_t = jnp.pad(vm_t, ((0, 0), (0, 0), (0, pad)), constant_values=NEG_INF)
 
+    # VMEM ceiling: every grid instance maps the full (K, n_pad) value
+    # streams (double-buffered), so footprint grows linearly with N — fine
+    # at the Gen1 50k window (~3.6 MB), a scoped-VMEM OOM at the event-
+    # mosaic path's 4x-event streams (measured on v5e: 36.75M vs the 16M
+    # limit at N=200k, ks=18). Above the cap, split the SORTED stream into
+    # E_CHUNK-aligned contiguous chunks ridden as extra batch rows; sums
+    # add and maxes max across chunks (a pixel spanning a boundary combines
+    # exactly), so the kernel itself never sees more than L_max events.
+    n_chunks = 1
+    l_max = (EV_VMEM_BYTES // (8 * (ks + km + 1))) // E_CHUNK * E_CHUNK
+    if n_pad > l_max:
+        n_chunks = -(-n_pad // l_max)
+        chunk_len = -(-n_pad // (n_chunks * E_CHUNK)) * E_CHUNK
+        tot = n_chunks * chunk_len
+        extra = tot - n_pad
+        seg_s = jnp.pad(seg_s, ((0, 0), (0, extra)),
+                        constant_values=num_segments)
+        vs_t = jnp.pad(vs_t, ((0, 0), (0, 0), (0, extra)))
+        seg_s = seg_s.reshape(B * n_chunks, chunk_len)
+        vs_t = jnp.swapaxes(
+            vs_t.reshape(B, ks, n_chunks, chunk_len), 1, 2
+        ).reshape(B * n_chunks, ks, chunk_len)
+        if km:
+            vm_t = jnp.pad(vm_t, ((0, 0), (0, 0), (0, extra)),
+                           constant_values=NEG_INF)
+            vm_t = jnp.swapaxes(
+                vm_t.reshape(B, km, n_chunks, chunk_len), 1, 2
+            ).reshape(B * n_chunks, km, chunk_len)
+        B, n_pad = B * n_chunks, chunk_len
+
     # 2. per-tile event ranges
     bases = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE_S
     bases = bases.at[-1].set(num_segments)
@@ -200,6 +237,8 @@ def fused_segment_reduce(
             out_shape=jax.ShapeDtypeStruct((B, ks, s_pad), jnp.float32),
             interpret=interpret,
         )(offs, seg_s[:, None, :], vs_t)
+        if n_chunks > 1:
+            sums = sums.reshape(-1, n_chunks, ks, s_pad).sum(axis=1)
         return jnp.swapaxes(sums, 1, 2)[:, :num_segments], None
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -225,6 +264,9 @@ def fused_segment_reduce(
         out_shape=out_shape,
         interpret=interpret,
     )(offs, seg_s[:, None, :], vs_t, vm_t)
+    if n_chunks > 1:
+        sums = sums.reshape(-1, n_chunks, ks, s_pad).sum(axis=1)
+        maxes = maxes.reshape(-1, n_chunks, km, s_pad).max(axis=1)
     sums = jnp.swapaxes(sums, 1, 2)[:, :num_segments]
     maxes = jnp.swapaxes(maxes, 1, 2)[:, :num_segments]
     return sums, maxes

@@ -68,6 +68,7 @@ class Trainer:
         teacher_ckpt: Optional[str] = None,
         quant_calib: bool = False,
         aug_mode: str = "image",
+        ema_cadence: str = "step",  # "dispatch": EMA once per scanned group
     ):
         if distill and fuse_ab:
             # engine.py:78-80: "Distill models should turn off the fuse_ab"
@@ -268,7 +269,8 @@ class Trainer:
 
             self.multi_step = self._with_teacher(make_multi_train_step(
                 self.model, self.loss_cfg, self.tx,
-                self.steps_per_dispatch, **step_kwargs,
+                self.steps_per_dispatch, ema_cadence=ema_cadence,
+                **step_kwargs,
             ))
         self.evaler = Evaler(
             self.model, self.val_loader, nc, self.representation, img_size

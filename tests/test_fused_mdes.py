@@ -117,3 +117,43 @@ def test_fused_sbt_parity():
     for i, ev in enumerate(evs):
         want = numpy_ref.mdes_np(ev, H, W, windows, funcs, aggs, "SBT")
         np.testing.assert_allclose(out[i], want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_event_axis_chunking(monkeypatch):
+    """The VMEM-cap chunking path (streams split into aligned batch-row
+    chunks, partials summed/maxed) is value-identical to the single-chunk
+    kernel. Shrink the budget so a 1280-event stream (4 windows x count/
+    timestamp-max columns) chunks; compare against the untouched path.
+    Regression for the v5e scoped-VMEM OOM at the event-mosaic 4x-event
+    streams (fused_segment_reduce at N=200k, ks=18: 36.75M > 16M limit)."""
+    from event_representation_study_tpu.ops import pallas_scatter
+    from event_representation_study_tpu.reps.fused_mdes import (
+        mdes_fused_batched,
+    )
+
+    evs = [
+        generate_fake_events(n, height=H, width=W, duration_us=50_000, seed=s)
+        for n, s in zip([1280, 900], [11, 12])
+    ]
+    batch = stack_blocks([from_structured(e, 1280) for e in evs])
+    windows = (0, 1, 2, 3)
+    funcs = ("count", "timestamp", "polarity", "timestamp")
+    aggs = ("sum", "max", "mean", "variance")
+
+    ref = np.asarray(
+        mdes_fused_batched(batch, H, W, windows, funcs, aggs, "SBN",
+                           interpret=True)
+    )
+    # shrink l_max below n_pad so the stream splits into multiple chunks
+    monkeypatch.setattr(pallas_scatter, "EV_VMEM_BYTES",
+                        512 * pallas_scatter.E_CHUNK)
+    # kernel caches on shapes only; clear so the patched budget is seen
+    pallas_scatter.fused_segment_reduce.clear_cache()
+    try:
+        out = np.asarray(
+            mdes_fused_batched(batch, H, W, windows, funcs, aggs, "SBN",
+                               interpret=True)
+        )
+    finally:
+        pallas_scatter.fused_segment_reduce.clear_cache()
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)

@@ -160,6 +160,108 @@ def test_ema_counter_and_blend():
     assert int(s.updates) == 1
 
 
+def test_ema_update_k_collapses_constant_params():
+    """ema_update_k(K) == K sequential ema_update calls when the params are
+    constant across the window (the exactness claim of the
+    ema_cadence='dispatch' scanned-trainer path), counter included."""
+    from event_representation_study_tpu.train.ema import (
+        ema_init,
+        ema_update,
+        ema_update_k,
+    )
+
+    rng = np.random.default_rng(0)
+    v0 = {"params": {"w": jnp.asarray(rng.normal(size=8), jnp.float32)},
+          "batch_stats": {"m": jnp.asarray(rng.normal(size=3), jnp.float32)}}
+    new = {"params": {"w": jnp.asarray(rng.normal(size=8), jnp.float32)},
+           "batch_stats": {"m": jnp.asarray(rng.normal(size=3), jnp.float32)}}
+    K = 5
+    seq = ema_init(v0)
+    for _ in range(K):
+        seq = ema_update(seq, new)
+    one = ema_update_k(ema_init(v0), new, K)
+    assert int(one.updates) == int(seq.updates) == K
+    for a, b in zip(jax.tree.leaves(seq.variables), jax.tree.leaves(one.variables)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_multi_step_ema_cadence_dispatch():
+    """make_multi_train_step(ema_cadence='dispatch'): params/opt-state follow
+    the per-step path EXACTLY (the EMA never feeds back into training) and
+    the once-per-dispatch EMA tracks the per-step EMA closely."""
+    import functools
+
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        Batch,
+        init_train_state,
+        make_multi_train_step,
+        stack_batches,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import (
+        SolverConfig,
+        build_optimizer,
+    )
+    from event_representation_study_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=["model.depth_multiple=0.2", "model.width_multiple=0.125"],
+    )
+    B, S, K = 2, 64, 3
+    model = build_model(cfg, num_classes=2)
+    imgs = jnp.zeros((B, S, S, 12), jnp.float32)
+    tx = build_optimizer(
+        jax.eval_shape(functools.partial(model.init, train=True),
+                       jax.random.PRNGKey(0), imgs)["params"],
+        SolverConfig(steps_per_epoch=10, epochs=2, batch_size=B),
+    )
+    rng = np.random.default_rng(1)
+    batches = [
+        Batch(
+            images=jnp.asarray(rng.uniform(0, 1, (B, S, S, 12)), jnp.float32),
+            events=None,
+            gt_labels=jnp.zeros((B, 4), jnp.int32),
+            gt_bboxes=jnp.asarray(
+                rng.uniform(8, 48, (B, 4, 4)).astype(np.float32)),
+            gt_mask=jnp.ones((B, 4), jnp.float32),
+        )
+        for _ in range(K)
+    ]
+    # sanitize boxes to valid xyxy
+    batches = [
+        b._replace(gt_bboxes=jnp.concatenate([
+            jnp.minimum(b.gt_bboxes[..., :2], b.gt_bboxes[..., 2:]),
+            jnp.maximum(b.gt_bboxes[..., :2], b.gt_bboxes[..., 2:]) + 4.0,
+        ], -1))
+        for b in batches
+    ]
+    stacked = stack_batches(batches)
+    lc = LossConfig(num_classes=2)
+    epoch = jnp.int32(5)
+    out = {}
+    for cadence in ("step", "dispatch"):
+        st = init_train_state(model, tx, jax.random.PRNGKey(0), imgs)
+        multi = make_multi_train_step(model, lc, tx, K, ema_cadence=cadence,
+                                      img_size=S)
+        st, parts = multi(st, stacked, epoch)
+        assert np.isfinite(float(parts["loss"][-1]))
+        out[cadence] = st
+    a, b = out["step"], out["dispatch"]
+    assert int(a.ema.updates) == int(b.ema.updates) == K
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # EMA: equal up to the intermediate-params approximation — bounded by
+    # decay_K * |param drift across the window|, which is LARGEST here
+    # (decay-warmup regime + big random-data gradient steps; measured max
+    # abs diff 3.2e-4 on this fixture). The constant-params exactness is
+    # pinned separately by test_ema_update_k_collapses_constant_params.
+    for x, y in zip(jax.tree.leaves(a.ema.variables),
+                    jax.tree.leaves(b.ema.variables)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-3)
+
+
 def test_train_step_on_mesh():
     """One fused events->rep->loss->update step, batch sharded over 8 CPU
     devices; params must change and loss be finite."""
