@@ -194,6 +194,12 @@ def fused_segment_reduce(
     # exactly), so the kernel itself never sees more than L_max events.
     n_chunks = 1
     l_max = (EV_VMEM_BYTES // (8 * (ks + km + 1))) // E_CHUNK * E_CHUNK
+    # With extreme column counts (ks+km+1 > EV_VMEM_BYTES/(8*E_CHUNK)) the
+    # budget rounds l_max down to 0 and the ceil-div below would divide by
+    # zero at trace time. Clamp to one E_CHUNK: a single chunk then
+    # overshoots the soft budget, which is still compilable (the hard
+    # scoped-VMEM limit has headroom over the 12 MB soft cap) and correct.
+    l_max = max(l_max, E_CHUNK)
     if n_pad > l_max:
         n_chunks = -(-n_pad // l_max)
         chunk_len = -(-n_pad // (n_chunks * E_CHUNK)) * E_CHUNK

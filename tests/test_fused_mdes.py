@@ -147,8 +147,32 @@ def test_fused_event_axis_chunking(monkeypatch):
     # shrink l_max below n_pad so the stream splits into multiple chunks
     monkeypatch.setattr(pallas_scatter, "EV_VMEM_BYTES",
                         512 * pallas_scatter.E_CHUNK)
-    # kernel caches on shapes only; clear so the patched budget is seen
+    # BOTH jit caches key on shapes only; the outer mdes_fused_batched cache
+    # would otherwise replay the unchunked executable and never re-trace the
+    # patched budget (the original test cleared only the inner cache and was
+    # vacuous — it compared the cached output with itself).
     pallas_scatter.fused_segment_reduce.clear_cache()
+    mdes_fused_batched.clear_cache()
+
+    # spy on pallas_call so the test PROVES the chunked path executed: the
+    # grid batch dim must be B * n_chunks > B once the stream splits.
+    class _SpyPl:
+        def __init__(self, real):
+            self._real = real
+            self.batch_dims = []
+
+        def pallas_call(self, *a, **k):
+            shapes = k["out_shape"]
+            if not isinstance(shapes, tuple):
+                shapes = (shapes,)
+            self.batch_dims.append(shapes[0].shape[0])
+            return self._real.pallas_call(*a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    spy = _SpyPl(pallas_scatter.pl)
+    monkeypatch.setattr(pallas_scatter, "pl", spy)
     try:
         out = np.asarray(
             mdes_fused_batched(batch, H, W, windows, funcs, aggs, "SBN",
@@ -156,4 +180,31 @@ def test_fused_event_axis_chunking(monkeypatch):
         )
     finally:
         pallas_scatter.fused_segment_reduce.clear_cache()
+        mdes_fused_batched.clear_cache()
+    assert spy.batch_dims, "patched budget never re-traced the kernel"
+    assert all(b > len(evs) for b in spy.batch_dims), (
+        f"chunking did not engage: pallas batch dims {spy.batch_dims} "
+        f"(expected > {len(evs)} rows from chunk splitting)"
+    )
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_chunking_degenerate_budget(monkeypatch):
+    """A budget smaller than one column-row of an E_CHUNK (l_max would round
+    to 0) must clamp to one E_CHUNK instead of ZeroDivisionError at trace."""
+    from event_representation_study_tpu.ops import pallas_scatter
+    from event_representation_study_tpu.reps.fused_reps import (
+        histogram_fused_batched,
+    )
+
+    evs, batch = _batch([200, 150], [8, 9])
+    ref = np.asarray(histogram_fused_batched(batch, H, W, interpret=True))
+    monkeypatch.setattr(pallas_scatter, "EV_VMEM_BYTES", 8)  # l_max -> 0
+    pallas_scatter.fused_segment_reduce.clear_cache()
+    histogram_fused_batched.clear_cache()
+    try:
+        out = np.asarray(histogram_fused_batched(batch, H, W, interpret=True))
+    finally:
+        pallas_scatter.fused_segment_reduce.clear_cache()
+        histogram_fused_batched.clear_cache()
+    np.testing.assert_allclose(out, ref, atol=1e-6)
