@@ -22,6 +22,11 @@ def main(args=None):
                    help="representation side used by the quadrant crops")
     p.add_argument("--limit", type=int, default=None,
                    help="cap the number of samples (full chosen set otherwise)")
+    p.add_argument("--batched", action="store_true",
+                   help="run the whole chosen-index sweep as ONE device "
+                        "dispatch (metrics.otmi.otmi_batched): reps built "
+                        "with the fused batched kernel, all quadrant solves "
+                        "in a single jitted program")
     args = p.parse_args(args)
 
     from ..data.gen1 import Gen1H5
@@ -33,6 +38,38 @@ def main(args=None):
     indices = extract_indexes(args.representation)
     if args.limit:
         indices = indices[: args.limit]
+
+    if args.batched:
+        import jax.numpy as jnp
+
+        from ..events import from_structured, stack_blocks
+        from ..metrics.otmi import otmi_batched
+        from ..reps.dispatch import batched_representation
+
+        evs = [ds.structured_events(i) for i in indices]
+        blocks = stack_blocks(
+            [from_structured(e, args.num_events) for e in evs]
+        )
+        reps = batched_representation(
+            args.representation, ds.height, ds.width
+        )(blocks)
+        N = args.num_events
+        arr = np.zeros((len(evs), N, 4), np.float32)
+        mask = np.zeros((len(evs), N), np.float32)
+        for j, e in enumerate(evs):
+            n = min(len(e), N)
+            arr[j, :n] = np.stack(
+                [e["x"][:n], e["y"][:n], e["t"][:n], e["p"][:n]], -1)
+            mask[j, :n] = 1.0
+        costs = np.asarray(otmi_batched(
+            jnp.asarray(arr), jnp.asarray(mask),
+            jnp.asarray(reps, jnp.float32),
+            ds.height, ds.width, rep_size=args.img_size,
+        ))
+        for idx, c in zip(indices, costs):
+            print(f"idx {idx}: C_p = {c:.5f}")
+        print(f"mean C_p over {len(costs)} samples: {np.nanmean(costs):.5f}")
+        return float(np.nanmean(costs))
 
     costs = []
     for idx in indices:

@@ -17,8 +17,11 @@ conventions and the shifted-coordinate masks):
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .gw import sampled_kernel_cost
@@ -53,6 +56,27 @@ def _bucket_capacity(n: int, minimum: int = 4096) -> int:
     return cap
 
 
+def _dense_cost_np(Xs: np.ndarray, Xt: np.ndarray, h: float = 0.7) -> float:
+    """CPU twin of the reference's C_p kernel math (compute_otmi.py:35-91:
+    sklearn ``pairwise_distances`` -> Gaussian kernels -> POT sampled GW
+    with max_iter=0, whose estimate converges to the plain mean of the
+    padded |Ks - Kt|). Dense NumPy like the reference — the per-sample
+    baseline the ``vs_baseline`` bench ratio measures against. Computing
+    the mean exactly instead of POT's sampled loop only *flatters* the CPU
+    (no sampling overhead), so the reported ratio is conservative."""
+    def kern(X):
+        sq = (X**2).sum(1)
+        C = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2 * X @ X.T, 0))
+        std = np.sqrt((C**2).mean() / 2)
+        return np.exp(-((C / (h * std)) ** 2) / 2)
+
+    Ks, Kt = kern(Xs), kern(Xt)
+    L = max(len(Xs), len(Xt))
+    A = np.zeros((L, L)); A[: len(Xs), : len(Xs)] = Ks
+    B = np.zeros((L, L)); B[: len(Xt), : len(Xt)] = Kt
+    return float(np.abs(A - B).mean())
+
+
 def otmi(
     events: np.ndarray,  # (N, 4) columns x, y, t, p
     rep: np.ndarray,  # (H_rep, W_rep, C)
@@ -61,6 +85,7 @@ def otmi(
     rep_size: int,
     h: float = 0.7,
     capacity: Optional[int] = None,
+    backend: str = "tpu",  # "tpu" (tiled jitted kernels) | "cpu-dense"
 ) -> float:
     events = np.asarray(events, np.float64)
     quads = _quadrants(events, height, width)
@@ -110,9 +135,145 @@ def otmi(
 
         if len(cloud_s) == 0 or len(flat) == 0:
             continue
+        if backend == "cpu-dense":
+            costs.append(_dense_cost_np(
+                cloud_s.astype(np.float64), flat.astype(np.float64), h=h))
+            continue
         cap = capacity or _bucket_capacity(max(len(cloud_s), len(flat)))
         Xs, ms = _pad_cloud(cloud_s.astype(np.float32), cap)
         Xt, mt = _pad_cloud(flat.astype(np.float32), cap)
         costs.append(float(sampled_kernel_cost(Xs, ms, Xt, mt, h=h)))
 
     return float(np.mean(costs)) if costs else float("nan")
+
+
+def _rep_boxes(rep_size: int):
+    half = rep_size // 2
+    return (
+        (0, half, 0, half),
+        (half - 1, rep_size, 0, half),
+        (0, half, half - 1, rep_size),
+        (half - 1, rep_size, half - 1, rep_size),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "rep_size", "h", "chunk")
+)
+def otmi_batched(
+    events,  # (B, N, 4) float32, columns x,y,t,p — TIME-SORTED per sample
+    ev_mask,  # (B, N) 1.0 for real events
+    reps,  # (B, H_rep, W_rep, C)
+    height: int,
+    width: int,
+    rep_size: int,
+    h: float = 0.7,
+    chunk: int = 512,
+):
+    """One-dispatch C_p for a whole batch of samples — the TPU-first
+    redesign of the gen1_compute.py chosen-index sweep (:91-104), which
+    loops otmi() per sample on the host (each a Python quadrant split +
+    3 kernel solves). Here the full protocol — quadrant split, densest
+    drop, min-shift, normalization, keep-masking, rep crop + positional
+    embedding + nonzero filter, and the tiled kernel cost — is one jitted
+    program; samples run under lax.map (sequential, so the O(cap^2) kernel
+    tiles never batch up in HBM) with the three quadrants unrolled.
+
+    Returns (B,) float32 C_p values (NaN where every quadrant is skipped,
+    like the host path). Static shapes throughout: event clouds are carried
+    at capacity N (so no truncation is possible — a quadrant cloud can't
+    exceed the stream), rep clouds at the crop's hh*ww. Values match the
+    host :func:`otmi` exactly up to f32 reduction order (tested): padding
+    rows are masked inside :func:`sampled_kernel_cost`, so capacities do
+    not affect the result.
+
+    Assumes events are time-sorted per sample (every loader in this
+    package yields sorted streams), so the reference's positional t[0] /
+    t[-1] span normalization (compute_otmi.py:159-162) equals masked
+    min/max.
+    """
+    hx, hy = width / 2 - 1, height / 2 - 1
+    half_w, half_h = (width - 1) // 2, (height - 1) // 2
+    boxes = _rep_boxes(rep_size)
+    N = events.shape[1]
+    BIG = 3.4e38
+
+    def one(args):
+        ev, m, rep = args
+        x, y, t, p = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
+        valid = m > 0
+        quad = (x > hx).astype(jnp.int32) + 2 * (y > hy).astype(jnp.int32)
+
+        counts = jnp.stack(
+            [jnp.sum(valid & (quad == i)) for i in range(4)]
+        )
+        densest = jnp.argmax(counts)
+
+        costs, weights = [], []
+        for i in range(4):
+            member = valid & (quad == i)
+            n_mem = jnp.sum(member)
+            # min-shift quadrants 2-4 (compute_otmi.py:139-147)
+            if i >= 1:
+                xmin = jnp.min(jnp.where(member, x, BIG))
+                ymin = jnp.min(jnp.where(member, y, BIG))
+                xi, yi = x - xmin, y - ymin
+            else:
+                xi, yi = x, y
+            t0 = jnp.min(jnp.where(member, t, BIG))
+            t1 = jnp.max(jnp.where(member, t, -BIG))
+            span = jnp.where(t1 != t0, t1 - t0, 1.0)
+            pmin = jnp.min(jnp.where(member, p, BIG))
+            pmax = jnp.max(jnp.where(member, p, -BIG))
+            pr = jnp.where(pmax != pmin, pmax - pmin, 1.0)
+
+            xs = xi / half_w
+            ys = yi / half_h
+            ts = (t - t0) / span
+            ps = (p - pmin) / pr
+            keep = member & (xi < half_w) & (yi < half_h)
+            n_keep = jnp.sum(keep)
+            cloud = jnp.stack([xs, ys, ts, ps], axis=-1)
+            cloud = jnp.where(keep[:, None], cloud, 0.0)
+            # compact: keep-rows first (sampled_kernel_cost requires it)
+            order = jnp.argsort(jnp.logical_not(keep), stable=True)
+            cloud = cloud[order]
+            ms = (jnp.arange(N) < n_keep).astype(jnp.float32)
+
+            x0, x1, y0, y1 = boxes[i]
+            crop = rep[y0:y1, x0:x1, :]
+            hh, ww, C = crop.shape
+            pe_x = jnp.repeat(
+                jnp.arange(hh, dtype=jnp.float32).reshape(hh, 1), ww, axis=1
+            ) / max(hh - 1, 1)
+            pe_y = jnp.repeat(
+                jnp.arange(ww, dtype=jnp.float32).reshape(1, ww), hh, axis=0
+            ) / max(ww - 1, 1)
+            flat = jnp.concatenate(
+                [crop, pe_x[..., None], pe_y[..., None]], axis=2
+            ).reshape(hh * ww, C + 2)
+            nz = jnp.sum(jnp.abs(flat[:, :-2]), axis=-1) > 0
+            n_nz = jnp.sum(nz)
+            flat = jnp.where(nz[:, None], flat, 0.0)
+            order_t = jnp.argsort(jnp.logical_not(nz), stable=True)
+            flat = flat[order_t]
+            # pad the smaller cloud's rows so both share one row space
+            cap = max(N, hh * ww)
+            cap = ((cap + chunk - 1) // chunk) * chunk
+            Xs = jnp.zeros((cap, 4), jnp.float32).at[:N].set(cloud)
+            Xt = jnp.zeros((cap, C + 2), jnp.float32).at[: hh * ww].set(flat)
+            ms_p = jnp.zeros((cap,), jnp.float32).at[:N].set(ms)
+            mt_p = (jnp.arange(cap) < n_nz).astype(jnp.float32)
+
+            w = ((i != densest) & (n_mem > 0) & (n_keep > 0)
+                 & (n_nz > 0)).astype(jnp.float32)
+            c = sampled_kernel_cost(Xs, ms_p, Xt, mt_p, h=h, chunk=chunk)
+            costs.append(jnp.where(w > 0, c, 0.0))
+            weights.append(w)
+
+        cs = jnp.stack(costs)
+        ws = jnp.stack(weights)
+        tot = jnp.sum(ws)
+        return jnp.where(tot > 0, jnp.sum(cs * ws) / tot, jnp.nan)
+
+    return jax.lax.map(one, (events, ev_mask, reps))

@@ -104,6 +104,65 @@ def test_otmi_protocol():
     assert c_match < c_scram
 
 
+def test_otmi_batched_matches_host():
+    """The one-dispatch batched sweep reproduces the host-orchestrated otmi()
+    per sample (padding capacities are masked out of the kernel cost, so the
+    two paths differ only by f32 reduction order)."""
+    from event_representation_study_tpu.events import generate_fake_events
+    from event_representation_study_tpu.metrics.otmi import otmi_batched
+    from event_representation_study_tpu.reps import numpy_ref
+
+    H, W, N, B = 120, 152, 3000, 3
+    evs, reps, ev_arr, mask = [], [], [], []
+    rng = np.random.default_rng(5)
+    for i in range(B):
+        n = N - 400 * i  # ragged: exercise the mask
+        ev = generate_fake_events(n, height=H, width=W, seed=20 + i)
+        events = np.stack([ev["x"], ev["y"], ev["t"], ev["p"]], -1).astype(
+            np.float64
+        )
+        evs.append(events)
+        reps.append(numpy_ref.voxel_grid_np(ev, H, W) * 255.0)
+        pad = np.zeros((N, 4), np.float32)
+        pad[:n] = events
+        ev_arr.append(pad)
+        mask.append((np.arange(N) < n).astype(np.float32))
+
+    got = np.asarray(
+        otmi_batched(
+            jnp.asarray(np.stack(ev_arr)),
+            jnp.asarray(np.stack(mask)),
+            jnp.asarray(np.stack(reps), jnp.float32),
+            H, W, rep_size=H,
+        )
+    )
+    want = np.array(
+        [otmi(e, r, H, W, rep_size=H) for e, r in zip(evs, reps)]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_gwd_cli_batched_matches_host(tmp_path, monkeypatch):
+    """cli/gwd.py --batched (one-dispatch sweep) returns the same mean C_p
+    as the per-sample host loop on a Gen1 fixture."""
+    from event_representation_study_tpu.cli import gwd
+    from event_representation_study_tpu.data.gen1 import write_gen1_fixture
+    from event_representation_study_tpu.metrics import chosen_indexes
+
+    root = tmp_path / "gen1"
+    root.mkdir()
+    write_gen1_fixture(root / "validation.h5", num_files=2, boxes_per_file=2,
+                       events_per_file=3000, seed=3)
+    monkeypatch.setattr(chosen_indexes, "extract_indexes",
+                        lambda name: [0, 1])
+    common = ["--data-path", str(root), "--num-events", "2048",
+              "--img-size", "240", "--representation", "EventHistogram"]
+    host = gwd.main(common)
+    batched = gwd.main(common + ["--batched"])
+    assert np.isfinite(host) and np.isfinite(batched)
+    np.testing.assert_allclose(batched, host, rtol=3e-4)
+
+
 def test_chosen_indexes():
     from event_representation_study_tpu.metrics.chosen_indexes import (
         CHOSEN,

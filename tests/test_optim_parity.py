@@ -86,7 +86,7 @@ def _run_reference(init):
     return traj
 
 
-def _run_ours(init):
+def _run_ours(init, optimizer="chain", momentum_dtype="float32"):
     from event_representation_study_tpu.train.optim import (
         SolverConfig,
         build_optimizer,
@@ -99,7 +99,8 @@ def _run_ours(init):
     cfg = SolverConfig(lr0=LR0, lrf=LRF, momentum=MOM, weight_decay=WD,
                        warmup_epochs=WARM_EP, warmup_momentum=W_MOM,
                        warmup_bias_lr=W_BIAS_LR, epochs=EPOCHS,
-                       steps_per_epoch=SPE, batch_size=64)
+                       steps_per_epoch=SPE, batch_size=64,
+                       optimizer=optimizer, momentum_dtype=momentum_dtype)
     tx = build_optimizer(params, cfg)
     state = tx.init(params)
     upd = jax.jit(tx.update)
@@ -125,16 +126,61 @@ def _run_ours(init):
 CHECKPOINTS = (1, 5, 250, 999, 1001, 1100, 1201, 1300)
 
 
-def test_sgd_trajectory_parity():
+@pytest.mark.parametrize("optimizer", ["chain", "fused"])
+def test_sgd_trajectory_parity(optimizer):
     init = _init()
     ref = _run_reference(init)
-    ours = _run_ours(init)
+    ours = _run_ours(init, optimizer=optimizer)
     for step in CHECKPOINTS:
         for k in SHAPES:
             np.testing.assert_allclose(
                 ours[step][k], ref[step][k], rtol=3e-4, atol=1e-6,
                 err_msg=f"step {step} param {k}",
             )
+
+
+def test_fused_matches_chain_tight():
+    """The fused single-pass SGD is the SAME float math as the optax chain
+    — trajectories agree to f32 roundoff over 1300 steps."""
+    init = _init()
+    chain = _run_ours(init, optimizer="chain")
+    fused = _run_ours(init, optimizer="fused")
+    for step in CHECKPOINTS:
+        for k in SHAPES:
+            np.testing.assert_allclose(
+                fused[step][k], chain[step][k], rtol=2e-6, atol=1e-8,
+                err_msg=f"step {step} param {k}",
+            )
+
+
+def test_fused_bf16_momentum():
+    """bf16 momentum storage: params stay f32 master weights, the momentum
+    buffer is bf16, and the trajectory tracks the f32 run closely (the
+    buffer's per-step relative increment is (1-rho) ~ 0.16, well above bf16
+    resolution, so drift is rounding-level, not structural)."""
+    from event_representation_study_tpu.train.optim import FusedSGDState
+
+    init = _init()
+    f32 = _run_ours(init, optimizer="fused")
+    bf16 = _run_ours(init, optimizer="fused", momentum_dtype="bfloat16")
+    for step in CHECKPOINTS:
+        for k in SHAPES:
+            assert bf16[step][k].dtype == np.float32  # master weights
+            ref_scale = np.abs(f32[step][k]).mean() + 1e-6
+            err = np.abs(bf16[step][k] - f32[step][k]).mean()
+            assert err / ref_scale < 5e-2, (
+                f"step {step} {k}: bf16-momentum drift {err/ref_scale:.3e}"
+            )
+
+    # state dtype really is bf16
+    from event_representation_study_tpu.train.optim import (
+        SolverConfig, build_optimizer,
+    )
+    params = {"w": {"kernel": jnp.ones((3, 3))}}
+    tx = build_optimizer(params, SolverConfig(momentum_dtype="bfloat16"))
+    st = tx.init(params)
+    assert isinstance(st, FusedSGDState)
+    assert st.momentum["w"]["kernel"].dtype == jnp.bfloat16
 
 
 def test_accumulate_warmup_ramp():
