@@ -645,6 +645,8 @@ def bench_scanned_dispatch_section():
         "detector_scanned_imgs_per_s_bf16": round(B / dt, 1),
         "scanned_k": K,
         "ema_cadence": ema_cadence,
+        "optimizer": os.environ.get("BENCH_OPTIMIZER", "fused"),
+        "momentum_dtype": os.environ.get("BENCH_MOMENTUM_DTYPE", "float32"),
     }
 
 
