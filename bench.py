@@ -36,26 +36,19 @@ _DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE_S", 2400))
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache: the expensive compiles (detector train
-    step ~127 s, bf16 eval decode ~400 s cold through the remote compiler)
-    hit disk the first time and replay in seconds after — so a bench run on
-    a warmed machine captures every section including bf16 eval. Opt-out
-    via BENCH_NO_COMPILE_CACHE=1 (the cache is standard on TPU; tests keep
-    it opt-in on XLA-CPU where a segfault was once observed)."""
+    """Persistent XLA compile cache (utils/compile_cache.py — shared with
+    every CLI entry point): the expensive compiles (detector train step
+    ~127 s, bf16 eval decode ~400 s cold through the remote compiler) hit
+    disk the first time and replay in seconds after — so a bench run on a
+    warmed machine captures every section including bf16 eval. Opt-out via
+    BENCH_NO_COMPILE_CACHE=1."""
     if os.environ.get("BENCH_NO_COMPILE_CACHE"):
         return
-    import jax
-
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/jax_bench_cache"),
+    from event_representation_study_tpu.utils.compile_cache import (
+        enable_persistent_cache,
     )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass  # cache is an optimization, never a bench failure
+
+    enable_persistent_cache()
 
 
 def _remaining():

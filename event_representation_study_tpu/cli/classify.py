@@ -20,6 +20,8 @@ def parse_ini(path: str) -> dict:
 
 
 def main(args=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser("Mini N-ImageNet classification")
     p.add_argument("--config", type=str, default=None, help=".ini config")
     p.add_argument("--train-list", type=str, default=None)

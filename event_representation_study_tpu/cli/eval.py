@@ -40,6 +40,8 @@ def get_args_parser():
 
 
 def main(args=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = get_args_parser().parse_args(args)
     from ..data.gen1 import Gen1H5
     from ..data.loader import EventBatchLoader

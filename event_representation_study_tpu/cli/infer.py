@@ -11,6 +11,8 @@ import numpy as np
 
 
 def main(args=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser("event detector inference demo")
     p.add_argument("--events", type=str, default=None,
                    help=".h5/.npz event file (alias of --source)")

@@ -87,6 +87,8 @@ def get_args_parser():
 
 
 def main(args=None):
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = get_args_parser()
     args = parser.parse_args(args)
     if args.calib and not args.quant:

@@ -22,6 +22,11 @@ if os.environ.get("ERS_TEST_COMPILE_CACHE") == "1":
     jax.config.update("jax_compilation_cache_dir", "/tmp/ers_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+else:
+    # the CLI entry points enable the persistent cache themselves
+    # (utils/compile_cache.py); keep it off for in-process CLI-driving
+    # tests unless the suite cache was explicitly opted into above
+    os.environ.setdefault("EVENT_TPU_NO_COMPILE_CACHE", "1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
