@@ -101,6 +101,13 @@ def make_train_step(
             # (yolo.py:56-67); no /255 on this path (engine.py:628-635)
             return batch.events
         if batch.images is not None:
+            if batch.aug is not None:
+                # image-dataset strong aug (data/image_dataset.py): the
+                # loader ships 0-255 letterboxed tiles (+ partner rows);
+                # mosaic/affine/flip/mixup compose on device like the
+                # reference's cv2 path (datasets.py:96-177), then /255
+                img = compose_warp(batch.images, batch.aug, img_size)
+                return img[: batch.gt_labels.shape[0]] / 255.0
             return batch.images
         if batch.aug is not None and aug_mode == "event":
             # event-space mosaic/affine/flip/mixup: the rep is built ONCE at
@@ -263,16 +270,29 @@ def make_multi_train_step(
                 st, b, epoch
             )
 
-        out_state, parts = jax.lax.scan(body, state, batches)
-        if not per_step_ema:
-            new_ema = ema_update_k(
-                state.ema,
-                {"params": out_state.params,
-                 "batch_stats": out_state.batch_stats},
-                k,
-            )
-            out_state = out_state._replace(ema=new_ema)
-        return out_state, parts
+        if per_step_ema:
+            out_state, parts = jax.lax.scan(body, state, batches)
+            return out_state, parts
+
+        # dispatch-cadence EMA: keep the EMA tree OUT of the scan carry
+        # entirely. A carried-but-untouched pytree still gets copied every
+        # while-loop iteration by XLA (measured on v5e: ~680 copy ops /
+        # step, ~3.7 ms — the 140M-param EMA tree's buffers); scanning a
+        # stripped state and blending once afterwards removes those copies.
+        empty_ema = EMAState({}, state.ema.updates)
+
+        def body_stripped(core, b):
+            st = TrainState(core[0], core[1], core[2], empty_ema, core[3])
+            new_st, parts = body(st, b)
+            return (new_st.params, new_st.batch_stats, new_st.opt_state,
+                    new_st.step), parts
+
+        core0 = (state.params, state.batch_stats, state.opt_state, state.step)
+        core, parts = jax.lax.scan(body_stripped, core0, batches)
+        new_ema = ema_update_k(
+            state.ema, {"params": core[0], "batch_stats": core[1]}, k
+        )
+        return TrainState(core[0], core[1], core[2], new_ema, core[3]), parts
 
     return multi_step
 

@@ -49,7 +49,7 @@ def build_data(root, n_files, boxes_per_file, seed0):
     )
 
 
-def run_one(root, out, augment, epochs, seed):
+def run_one(root, out, augment, epochs, seed, aug_mode="image"):
     from event_representation_study_tpu.train.engine import Trainer
     from event_representation_study_tpu.utils.config import load_config
 
@@ -64,6 +64,7 @@ def run_one(root, out, augment, epochs, seed):
         output_dir=out, eval_interval=10**6, eval_interval_first=-1,
         num_events=4096, seed=seed, nominal_batch_size=4,
         augment=augment, stop_aug_last_n_epoch=max(epochs // 4, 1),
+        aug_mode=aug_mode,
     )
     tr.train()
     ema = tr.evaler.run(tr.state.ema.variables)["AP50"]
@@ -82,11 +83,33 @@ def main():
                     help="labeled timestamps per recording")
     ap.add_argument("--seed", type=int, default=9)
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--compare-modes", action="store_true",
+                    help="A/B the strong-aug EXECUTORS instead: --aug-mode "
+                         "image (reference-exact bilinear warp) vs event "
+                         "(reps/event_mosaic.py point rasterization, ~2.4x "
+                         "faster step) on the same data/seed/schedule — the "
+                         "measurement that decides whether the documented "
+                         "rasterization deviation costs accuracy")
     args = ap.parse_args()
 
     root = pathlib.Path(args.workdir or tempfile.mkdtemp(prefix="augabl_"))
     root.mkdir(parents=True, exist_ok=True)
     build_data(root, args.files, args.boxes, args.seed)
+
+    if args.compare_modes:
+        ap50_img = run_one(root, root / "run_img", True, args.epochs,
+                           args.seed, aug_mode="image")
+        ap50_evt = run_one(root, root / "run_evt", True, args.epochs,
+                           args.seed, aug_mode="event")
+        result = {
+            "ap50_aug_image": round(float(ap50_img), 4),
+            "ap50_aug_event": round(float(ap50_evt), 4),
+            "epochs": args.epochs,
+            "train_samples": args.files * args.boxes,
+            "event_within_noise": bool(ap50_evt >= ap50_img - 0.03),
+        }
+        print(json.dumps(result))
+        return result
 
     ap50_noaug = run_one(root, root / "run_noaug", False, args.epochs,
                          args.seed)
