@@ -239,11 +239,21 @@ class ClassifierTrainer:
 
     def run_epoch(self, ds: NImageNetDataset, batch_size: int, train: bool = True,
                   rng: np.random.Generator = None) -> Dict[str, float]:
+        """One pass over ``ds``. Returns top1/top5 (+ loss when training)
+        plus the reference's load-vs-infer timing split: n_imagenet's
+        MiniBatchTracker brackets data loading and inference with separate
+        timers (base/utils/tracker.py:1-60, minibatch_trainer.py's
+        start_load_timing/start_infer_timing) — here ``load_s`` is the host
+        batch assembly (disk decode + collate) and ``infer_s`` the device
+        step including the readback that forces completion."""
+        import time as _time
+
         rng = rng or np.random.default_rng(self.seed)
         order = np.arange(len(ds))
         if train:
             rng.shuffle(order)
         losses, top1, top5, seen = [], 0.0, 0.0, 0
+        load_s = infer_s = 0.0
         for b0 in range(0, len(order), batch_size):
             sel = order[b0 : b0 + batch_size]
             real = len(sel)
@@ -256,7 +266,10 @@ class ClassifierTrainer:
                 sel = np.concatenate(
                     [sel, np.repeat(sel[-1:], batch_size - real)]
                 )
+            t0 = _time.perf_counter()
             blocks, labels = self._batch_of(ds, sel)
+            t1 = _time.perf_counter()
+            load_s += t1 - t0
             if train:
                 self.state, loss, logits = self._train_step(
                     self.state, blocks, jnp.asarray(labels)
@@ -264,7 +277,8 @@ class ClassifierTrainer:
                 losses.append(float(loss))
             else:
                 logits = self._eval_step(self.state, blocks)
-            lg = np.asarray(logits)[:real]
+            lg = np.asarray(logits)[:real]  # readback = device sync
+            infer_s += _time.perf_counter() - t1
             labels = np.asarray(labels)[:real]
             top1 += topk_accuracy(lg, labels, 1) * real
             top5 += topk_accuracy(lg, labels, min(5, self.num_classes)) * real
@@ -272,6 +286,8 @@ class ClassifierTrainer:
         out = {
             "top1": top1 / seen if seen else float("nan"),
             "top5": top5 / seen if seen else float("nan"),
+            "load_s": round(load_s, 4),
+            "infer_s": round(infer_s, 4),
         }
         if losses:
             out["loss"] = float(np.mean(losses))

@@ -69,6 +69,9 @@ def test_classifier_learns_separable_task(fixture_data):
     assert 0.0 <= metrics["top1"] <= 1.0
     # top-5 with 2 classes is trivially 1
     assert metrics["top5"] == 1.0
+    # load-vs-infer timing split (n_imagenet MiniBatchTracker role,
+    # base/utils/tracker.py:1-60)
+    assert metrics["load_s"] > 0.0 and metrics["infer_s"] > 0.0
     assert topk_accuracy(np.eye(4), np.arange(4), 1) == 1.0
 
 

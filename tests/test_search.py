@@ -241,3 +241,33 @@ def test_exhaustive_mode_never_repeats_evaluated_points():
             assert key not in seen, key
             seen.add(key)
             obs.append(dict(r, obj=cat_dejong(list(key), (3, 3))))
+
+
+def test_db_pandas_writers(tmp_path):
+    """The pandas table formats (database_handler/pandas_writers
+    db_writer.py to_csv/to_excel) round-trip observations, including
+    list-valued parameters (JSON-encoded per cell)."""
+    import pytest as _pytest
+
+    from event_representation_study_tpu.search.db import DatabaseHandler
+
+    obs = [
+        {"obj": 0.5, "windows": [0, 2, 5], "function": "count"},
+        {"obj": 0.25, "windows": [1, 3], "function": "timestamp"},
+    ]
+    db = DatabaseHandler(tmp_path / "hist.csv", format="csv")
+    db.log_observations(obs[:1])
+    db.log_observations(obs[1:])  # append path re-reads + rewrites
+    hist = DatabaseHandler(tmp_path / "hist.csv", format="csv").load()
+    assert len(hist) == 2
+    assert hist[0]["windows"] == [0, 2, 5]
+    assert hist[1]["function"] == "timestamp"
+    assert [h["iteration"] for h in hist] == [0, 1]
+
+    xdb = DatabaseHandler(tmp_path / "hist.xlsx", format="xlsx")
+    try:
+        xdb.log_observations(obs)
+    except RuntimeError as e:
+        assert "Excel engine" in str(e)  # engine absent in this image
+    else:
+        assert len(xdb.load()) == 2
