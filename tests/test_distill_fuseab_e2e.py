@@ -233,9 +233,11 @@ def test_fuseab_step_both_branches_contribute():
     assert out.shape[-1] == 4 + 1 + 2
 
 
-def test_trainer_distill_and_fuseab_wiring(gen1_fixture, tmp_path):
-    """Trainer-level: teacher checkpoint loading, one distill epoch, one
-    fuse_ab epoch, and the exclusivity guard."""
+def test_trainer_distill_wiring(gen1_fixture, tmp_path):
+    """Trainer-level: teacher checkpoint loading, one distill epoch, and
+    the distill/fuse_ab exclusivity guard. (Split from one combined test:
+    each half compiles a full Trainer program, and together they exceeded
+    the ~5-minute single-test budget on the CPU suite.)"""
     from event_representation_study_tpu.train.checkpoint import save_checkpoint
     from event_representation_study_tpu.train.engine import Trainer
 
@@ -262,6 +264,14 @@ def test_trainer_distill_and_fuseab_wiring(gen1_fixture, tmp_path):
     tr.train()
     assert int(tr.state.step) == len(tr.train_loader)
 
+
+def test_trainer_fuseab_wiring(gen1_fixture, tmp_path):
+    """Trainer-level: one fuse_ab epoch through the anchor-base auxiliary
+    branch."""
+    from event_representation_study_tpu.train.engine import Trainer
+
+    cfg = load_config("configs/gen1_optimized.py", overrides=TINY)
+    cfg["data"]["representation"] = "EventHistogram"
     tr2 = Trainer(cfg, gen1_fixture, batch_size=2, epochs=1, img_size=64,
                   output_dir=tmp_path / "ab", eval_interval=10**6,
                   eval_interval_first=-1, num_events=256, seed=1,
