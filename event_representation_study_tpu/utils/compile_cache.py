@@ -17,11 +17,32 @@ from __future__ import annotations
 import os
 
 
+def force_platform() -> None:
+    """Honor EVENT_TPU_JAX_PLATFORM=cpu|axon|tpu for subprocess tooling.
+
+    Some managed-TPU images register their PJRT plugin from sitecustomize
+    and *explicitly* set ``jax_platforms`` via config at interpreter start,
+    so the JAX_PLATFORMS environment variable is silently ignored — a
+    "CPU" subprocess then queues on the (single-tenant) device tunnel.
+    Only ``jax.config.update("jax_platforms", ...)`` before backend init
+    wins. Every CLI entry point routes through here (via
+    enable_persistent_cache) so harness scripts (scripts/reproduce_drill.py,
+    scripts/aug_ablation.py, 2-process multihost tests) can pin their
+    children to a backend with one env var.
+    """
+    plat = os.environ.get("EVENT_TPU_JAX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_persistent_cache(cache_dir: str | None = None,
                             min_compile_secs: float = 2.0) -> str | None:
     """Point jax's compilation cache at a durable directory. Safe to call
     more than once and before/after backend init; returns the directory or
     None when disabled via EVENT_TPU_NO_COMPILE_CACHE=1."""
+    force_platform()
     if os.environ.get("EVENT_TPU_NO_COMPILE_CACHE"):
         return None
     import jax

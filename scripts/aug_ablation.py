@@ -90,7 +90,19 @@ def main():
                          "faster step) on the same data/seed/schedule — the "
                          "measurement that decides whether the documented "
                          "rasterization deviation costs accuracy")
+    ap.add_argument("--platform", choices=("cpu", "axon", "tpu"),
+                    default=None,
+                    help="pin jax to a backend; JAX_PLATFORMS env alone is "
+                         "ignored on managed-TPU images (see "
+                         "utils/compile_cache.force_platform)")
     args = ap.parse_args()
+    if args.platform:
+        import os
+
+        os.environ["EVENT_TPU_JAX_PLATFORM"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     root = pathlib.Path(args.workdir or tempfile.mkdtemp(prefix="augabl_"))
     root.mkdir(parents=True, exist_ok=True)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import re
 import subprocess
@@ -100,7 +101,20 @@ def main():
                     help="work dir (default: a fresh temp dir)")
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--img-size", type=int, default=None)
+    ap.add_argument("--platform", choices=("cpu", "axon", "tpu"),
+                    default=None,
+                    help="pin this drill AND its subprocess commands to a "
+                         "jax backend. On single-tenant managed-TPU tunnels "
+                         "the quick-scale drill should run --platform cpu "
+                         "so it never queues behind (or wedges) the device "
+                         "owner; note JAX_PLATFORMS env alone is ignored "
+                         "there (see utils/compile_cache.force_platform).")
     args = ap.parse_args()
+    if args.platform:
+        os.environ["EVENT_TPU_JAX_PLATFORM"] = args.platform  # children
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)  # this process
 
     root = pathlib.Path(args.root or tempfile.mkdtemp(prefix="repro_drill_"))
     root.mkdir(parents=True, exist_ok=True)
