@@ -216,6 +216,7 @@ def main():
         ("detector_aug_event_step", 260,
          lambda: bench_aug_step_section(aug_mode="event")),
         ("detector_aug_step", 260, bench_aug_step_section),
+        ("step_anatomy", 420, bench_step_anatomy_section),
     ]
     measured = _journal_estimates()
     sections = [
@@ -695,6 +696,81 @@ def bench_scanned_dispatch_section():
         "optimizer": os.environ.get("BENCH_OPTIMIZER", "fused"),
         "momentum_dtype": os.environ.get("BENCH_MOMENTUM_DTYPE", "float32"),
     }
+
+
+def bench_step_anatomy_section():
+    """Direct decomposition of the scanned train step (VERDICT r3 #2):
+    the same K-step program with the update path disabled piecewise —
+    full (fused SGD + per-step EMA) vs no_ema (dispatch-cadence EMA) vs
+    no_opt (zero-update tx) — so the driver artifact carries the measured
+    answer to "is the optimizer/EMA HBM traffic the step floor?".
+    (Measured v5e: floor = fwd+bwd at ~55.4 of ~57.5 ms; optimizer 1.55,
+    EMA cadence 0.56 — the update path is NOT the floor.)"""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.parallel.train_step import (
+        init_train_state,
+        make_multi_train_step,
+        stack_batches,
+    )
+    from event_representation_study_tpu.train.losses import LossConfig
+    from event_representation_study_tpu.train.optim import build_optimizer
+
+    cfg, B, S, imgs, batch = _detector_fixture()
+    K = int(os.environ.get("BENCH_DISPATCH_K", 4))
+    rng = np.random.default_rng(7)
+    stacked = jax.device_put(stack_batches([
+        batch._replace(
+            images=jnp.asarray(rng.uniform(0, 1, (B, S, S, 12)), jnp.float32)
+        )
+        for _ in range(K)
+    ]))
+    model = build_model(cfg, num_classes=2, dtype=jnp.bfloat16)
+    param_shapes = jax.eval_shape(
+        functools.partial(model.init, train=True), jax.random.PRNGKey(0), imgs
+    )["params"]
+
+    def zero_tx():
+        # grads still computed, then scaled by 0.0 (XLA cannot fold x*0 for
+        # floats) — removes momentum traffic + update math, keeps fwd+bwd
+        return optax.GradientTransformation(
+            lambda params: optax.EmptyState(),
+            lambda updates, state, params=None: (
+                jax.tree.map(lambda g: g * 0.0, updates), state),
+        )
+
+    epoch = jnp.int32(10)
+
+    def run(tx, update_ema):
+        state = init_train_state(model, tx, jax.random.PRNGKey(0), imgs)
+        multi = make_multi_train_step(
+            model, LossConfig(num_classes=2), tx, K, img_size=S,
+            ema_cadence="step" if update_ema else "dispatch",
+        )
+        state, parts = multi(state, stacked, epoch)  # compile + warm
+        float(parts["loss"][-1])
+        iters = max(2, int(os.environ.get("BENCH_DETECTOR_ITERS", 8)) // K)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, parts = multi(state, stacked, epoch)
+        loss = float(parts["loss"][-1])
+        assert np.isfinite(loss)
+        return (time.perf_counter() - t0) / (iters * K) * 1e3
+
+    out = {}
+    out["anatomy_full_ms"] = round(
+        run(build_optimizer(param_shapes, _solver(B)), True), 2)
+    if _remaining() > 200:
+        out["anatomy_no_ema_ms"] = round(
+            run(build_optimizer(param_shapes, _solver(B)), False), 2)
+    if _remaining() > 200:
+        out["anatomy_fwd_bwd_ms"] = round(run(zero_tx(), False), 2)
+    return out
 
 
 if __name__ == "__main__":
