@@ -36,12 +36,16 @@ def get_args_parser():
     p.add_argument("--augment", action="store_true",
                    help="enable the strong-augment recipe (mosaic/affine/"
                         "flips/mixup) from the config's data_aug hyp")
-    p.add_argument("--aug-mode", choices=("image", "event"), default="image",
+    p.add_argument("--aug-mode", choices=("auto", "image", "event"),
+                   default="auto",
                    help="strong-aug executor: 'image' warps the rasterized "
                         "representation (reference semantics, ops/warp.py); "
                         "'event' composes mosaic/affine/mixup on event "
-                        "coordinates (reps/event_mosaic.py, ~4x cheaper, "
-                        "point rasterization)")
+                        "coordinates (reps/event_mosaic.py, ~1.9x faster "
+                        "step, point rasterization — A/B'd equal-AP50 "
+                        "within noise across seeds, NOTES.md round 4); "
+                        "'auto' (default) picks event when the "
+                        "representation supports it")
     p.add_argument("--stop-aug-last-n-epoch", type=int, default=15,
                    help="zero mosaic/mixup for the last N epochs "
                         "(engine.py:475-480)")

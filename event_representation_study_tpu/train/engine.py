@@ -67,7 +67,7 @@ class Trainer:
         temperature: float = 20.0,
         teacher_ckpt: Optional[str] = None,
         quant_calib: bool = False,
-        aug_mode: str = "image",
+        aug_mode: str = "auto",
         ema_cadence: str = "step",  # "dispatch": EMA once per scanned group
     ):
         if distill and fuse_ab:
@@ -285,6 +285,24 @@ class Trainer:
                 for x in jax.tree.leaves(self.state.params)
             )
             LOGGER.info("Model Summary: Params: %.2fM", n_params / 1e6)
+        if aug_mode == "auto":
+            # event-space strong aug is ~1.9x faster per step (bench:
+            # 89.3 vs 169.3 ms) and A/B'd AP50-equal within noise across
+            # seeds (scripts/aug_ablation.py --compare-modes, NOTES.md
+            # round 4: image 0.152/0.182 vs event 0.136/0.198), so it is
+            # the default wherever the representation supports it
+            from ..reps.event_mosaic import supports_event_mosaic
+
+            aug_mode = (
+                "event"
+                if self.representation is not None
+                and self.data_type != "images"
+                and not self.learned
+                and supports_event_mosaic(self.representation)
+                else "image"
+            )
+            LOGGER.info("aug_mode auto -> %s", aug_mode)
+        self.aug_mode = aug_mode
         step_kwargs = dict(
             representation=self.representation,
             rep_hw=(self.train_ds.height, self.train_ds.width),

@@ -260,6 +260,9 @@ def test_stop_aug_semantics(gen1_fixture):
         output_dir="/tmp/ers_test_stopaug", num_events=512, augment=True,
         stop_aug_last_n_epoch=3,
     )
+    # default aug_mode="auto" resolves to the event executor for reps with
+    # an event-space mosaic (A/B'd AP50-equal, ~1.9x faster step; NOTES r4)
+    assert tr.aug_mode == "event"
     assert tr.train_loader.hyp["mosaic"] == 1.0
     tr.prepare_for_epoch(6)  # not yet
     assert tr.train_loader.hyp["mosaic"] == 1.0

@@ -173,6 +173,7 @@ def test_trainer_smoke_epoch_images_config(image_root, tmp_path):
                  output_dir=tmp_path / "run", eval_interval=1, seed=0,
                  augment=True, stop_aug_last_n_epoch=1)
     assert tr.representation is None
+    assert tr.aug_mode == "image"  # auto: no event stream to mosaic
     tr.train()
     assert (tmp_path / "run" / "last_ckpt").exists()
     stats = tr.evaler.run(tr.state.ema.variables)
