@@ -55,7 +55,7 @@ def _remaining():
     return _DEADLINE - time.monotonic()
 
 
-def _journal_estimates():
+def _journal_estimates(path=None):
     """Per-section cost estimates calibrated from the journal.
 
     Round-3 lesson (VERDICT weak #1): static estimates drifted far from
@@ -69,8 +69,9 @@ def _journal_estimates():
     runs dominated by measurement loops instead of compiles.  Sections
     with no history keep their static estimate.
     """
-    path = os.path.join(os.path.dirname(__file__) or ".",
-                        "BENCH_SECTIONS.jsonl")
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__) or ".",
+                            "BENCH_SECTIONS.jsonl")
     deltas = {}
     try:
         with open(path) as f:
@@ -217,7 +218,11 @@ def main():
          lambda: bench_aug_step_section(aug_mode="event")),
         ("detector_aug_step", 260, bench_aug_step_section),
         ("step_anatomy", 420, bench_step_anatomy_section),
+        ("classifier", 300, bench_classifier_section),
     ]
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+    if only:  # debug/retry aid: run just the named sections
+        sections = [s for s in sections if s[0] in only]
     measured = _journal_estimates()
     sections = [
         (n, round(1.3 * measured[n]) if n in measured else e, t)
@@ -770,6 +775,57 @@ def bench_step_anatomy_section():
             run(build_optimizer(param_shapes, _solver(B)), False), 2)
     if _remaining() > 200:
         out["anatomy_fwd_bwd_ms"] = round(run(zero_tx(), False), 2)
+    return out
+
+
+def bench_classifier_section():
+    """N-ImageNet classifier throughput (the study's real_cnn container:
+    EventResNet-34, 12 channels @ 224x224 — n_imagenet/real_cnn_model/
+    model_container.py): fused train step (DiST rep on device) and eval
+    forward, imgs/s. The reference has no published throughput here either
+    (BASELINE.md 'Mechanisms without published values'), so this line is
+    the framework's own record."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from event_representation_study_tpu.data.nimagenet import IMAGE_H, IMAGE_W
+    from event_representation_study_tpu.models.resnet import EventResNet
+    from event_representation_study_tpu.train.classifier import (
+        ClassifierTrainer,
+    )
+
+    B = int(os.environ.get("BENCH_CLASSIFIER_BATCH", 64))
+    C = 12
+    model = EventResNet(num_classes=100, arch="ResNet34", stem_kernel=14)
+    tr = ClassifierTrainer(model, None, 100, optimizer="SGD", seed=0)
+    tr.init(batch_size=B, channels=C)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, IMAGE_H, IMAGE_W, C)),
+                       jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 100, (B,)), jnp.int32)
+
+    out = {"classifier_batch": B}
+    state, loss, _logits = tr._train_step(tr.state, imgs, labels)
+    float(loss)  # compile + warm
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _logits = tr._train_step(state, imgs, labels)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    out["classifier_train_ms_per_batch"] = round(dt * 1e3, 2)
+    out["classifier_train_imgs_per_s"] = round(B / dt, 1)
+
+    logits = tr._eval_step(state, imgs)
+    float(jnp.sum(logits))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logits = tr._eval_step(state, imgs)
+    float(jnp.sum(logits))
+    dt = (time.perf_counter() - t0) / iters
+    out["classifier_eval_imgs_per_s"] = round(B / dt, 1)
     return out
 
 

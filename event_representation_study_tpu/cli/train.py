@@ -91,6 +91,9 @@ def get_args_parser():
 
 
 def main(args=None):
+    import time as _time
+
+    _T_MAIN = _time.time()
     from ..utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     parser = get_args_parser()
@@ -142,6 +145,8 @@ def main(args=None):
         teacher_ckpt=args.teacher_ckpt,
         quant_calib=bool(args.quant and args.calib),
     )
+    _t0 = _time.time()
+    print(f"trainer ready in {_t0 - _T_MAIN:.1f}s", flush=True)
     ckpt = args.checkpoint
     if args.resume is not None and ckpt is None:
         ckpt = args.resume
@@ -166,6 +171,8 @@ def main(args=None):
         trainer.state, trainer.start_epoch = restore_train_state(
             ckpt, trainer.state
         )
+        print(f"checkpoint restored in {_time.time() - _t0:.1f}s",
+              flush=True)
 
     if args.testing:
         stats = trainer.evaler.run(
