@@ -144,6 +144,9 @@ def main(args=None):
         temperature=args.temperature,
         teacher_ckpt=args.teacher_ckpt,
         quant_calib=bool(args.quant and args.calib),
+        # the reference's --testing builds its eval loader on the TEST
+        # split (engine.py:603-623 task="test"), not validation
+        eval_task="test" if args.testing else "val",
     )
     _t0 = _time.time()
     print(f"trainer ready in {_t0 - _T_MAIN:.1f}s", flush=True)

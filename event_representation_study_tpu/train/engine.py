@@ -69,6 +69,7 @@ class Trainer:
         quant_calib: bool = False,
         aug_mode: str = "auto",
         ema_cadence: str = "step",  # "dispatch": EMA once per scanned group
+        eval_task: str = "val",  # "test" for --testing (engine.py:603-623)
     ):
         if distill and fuse_ab:
             # engine.py:78-80: "Distill models should turn off the fuse_ab"
@@ -110,7 +111,8 @@ class Trainer:
                 cache_ram=bool(data.get("cache_ram")), class_names=names,
             )
             self.val_ds = ImageFolderDataset(
-                data_root, task="val", img_size=img_size, class_names=names,
+                data_root, task=eval_task, img_size=img_size,
+                class_names=names,
             )
             self.train_loader = ImageBatchLoader(
                 self.train_ds, batch_size, img_size=img_size, shuffle=True,
@@ -124,7 +126,7 @@ class Trainer:
             )
         else:
             self.train_ds = Gen1H5(data_root, task="train", num_events=ne)
-            self.val_ds = Gen1H5(data_root, task="val", num_events=ne)
+            self.val_ds = Gen1H5(data_root, task=eval_task, num_events=ne)
             self.train_loader = EventBatchLoader(
                 self.train_ds, batch_size, img_size=img_size, shuffle=True,
                 seed=seed,

@@ -74,7 +74,17 @@ class Evaler:
 
         ``do_pr_metric`` adds the per-class PR/F1/confusion summary
         (evaler.py:179-337). ``speed_only`` skips metric accumulation (the
-        standalone speed task, evaler.py:491-501)."""
+        standalone speed task, evaler.py:491-501).
+
+        The loop is software-pipelined: batch ``k``'s rep+forward+NMS is
+        dispatched (async) BEFORE batch ``k-1``'s detections are read back
+        and fed to the host COCO accumulator, so host work (H5 fetch via the
+        loader's prefetch thread, host->device staging, box conversion)
+        overlaps device compute instead of summing with it. Under
+        pipelining the three speed slots measure where THIS thread's time
+        goes (pre = fetch+staging issue, infer = blocked on readback,
+        post = host metric work); their sum is eval wall time, but infer no
+        longer equals pure device latency when host work hides it."""
         import jax
 
         ds = self.loader.ds
@@ -89,33 +99,32 @@ class Evaler:
         # COCO-format prediction records (evaler.py:545-568
         # convert_to_coco_format): interop with pycocotools elsewhere
         coco_records = [] if predictions_json else None
-        for batch, indices in self.loader:
-            t_pre = time.perf_counter()
-            batch = jax.device_put(batch)
-            jax.block_until_ready(batch.gt_bboxes)
+
+        def drain(pending):
+            dets_d, counts_d, host_batch, indices = pending
             t0 = time.perf_counter()
-            preds = self._eval_step(variables, batch)
-            dets, counts = self._nms(preds)
-            dets = np.asarray(dets)  # readback forces completion
-            counts = np.asarray(counts)
+            dets = np.asarray(dets_d)  # readback forces completion
+            counts = np.asarray(counts_d)
             t1 = time.perf_counter()
             nb = dets.shape[0]
+            nonlocal plotted
             if not plotted and self._images is not None:
                 import pathlib
 
                 from ..utils.viz import plot_val_predictions
 
-                imgs = np.asarray(self._images(batch.events))
+                imgs = np.asarray(self._images(jax.device_put(
+                    host_batch.events)))
                 plot_val_predictions(
-                    imgs, dets, counts, np.asarray(batch.gt_bboxes),
-                    np.asarray(batch.gt_mask),
+                    imgs, dets, counts, np.asarray(host_batch.gt_bboxes),
+                    np.asarray(host_batch.gt_mask),
                     path=str(pathlib.Path(plot_dir) / "val_pred.png"),
                 )
                 plotted = True
             if not speed_only:
-                labels = np.asarray(batch.gt_labels)
-                boxes = np.asarray(batch.gt_bboxes)
-                mask = np.asarray(batch.gt_mask) > 0
+                labels = np.asarray(host_batch.gt_labels)
+                boxes = np.asarray(host_batch.gt_bboxes)
+                mask = np.asarray(host_batch.gt_mask) > 0
                 for i in range(nb):
                     n = int(counts[i])
                     d = dets[i, :n].copy()
@@ -123,8 +132,9 @@ class Evaler:
                         d[:, :4], self.img_size, ds.height, ds.width
                     )
                     m = mask[i]
-                    g = boxes[i][m]  # letterboxed xyxy -> back to sensor frame
-                    g = scale_coords_back(g, self.img_size, ds.height, ds.width)
+                    g = boxes[i][m]  # letterboxed xyxy -> sensor frame
+                    g = scale_coords_back(g, self.img_size, ds.height,
+                                          ds.width)
                     gts = np.concatenate(
                         [labels[i][m][:, None].astype(np.float64), g], axis=1
                     )
@@ -137,16 +147,30 @@ class Evaler:
                             coco_records.append({
                                 "image_id": img_id,
                                 "category_id": int(cls),
-                                "bbox": [round(float(x1), 3), round(float(y1), 3),
+                                "bbox": [round(float(x1), 3),
+                                         round(float(y1), 3),
                                          round(float(x2 - x1), 3),
                                          round(float(y2 - y1), 3)],
                                 "score": round(float(score), 5),
                             })
             t2 = time.perf_counter()
             speed["n"] += nb
-            speed["pre_ms"] += (t0 - t_pre) * 1e3
             speed["infer_ms"] += (t1 - t0) * 1e3
             speed["post_ms"] += (t2 - t1) * 1e3
+
+        pending = None
+        t_pre = time.perf_counter()
+        for batch, indices in self.loader:
+            dev = jax.device_put(batch)  # async issue; compute depends on it
+            preds = self._eval_step(variables, dev)
+            dets_d, counts_d = self._nms(preds)
+            speed["pre_ms"] += (time.perf_counter() - t_pre) * 1e3
+            if pending is not None:
+                drain(pending)  # host work overlaps batch k's device compute
+            pending = (dets_d, counts_d, batch, indices)
+            t_pre = time.perf_counter()
+        if pending is not None:
+            drain(pending)
         stats = {} if speed_only else coco.summarize()
         if coco_records is not None:
             import json
