@@ -225,6 +225,7 @@ def main():
         ("detector_aug_step", 260, bench_aug_step_section),
         ("step_anatomy", 420, bench_step_anatomy_section),
         ("classifier", 300, bench_classifier_section),
+        ("evaler_e2e", 300, bench_evaler_e2e_section),
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:  # debug/retry aid: run just the named sections
@@ -547,6 +548,68 @@ def bench_eval_section():
         if _remaining() < 300:
             break
     return out
+
+
+def bench_evaler_e2e_section():
+    """END-TO-END eval wall time through the real Evaler loop: H5 fetch
+    (loader prefetch thread) + host->device staging + fused rep+forward+NMS
+    + host COCO accumulation, software-pipelined (train/evaler.py run).
+    This is what an epoch eval actually costs — the decode-only section
+    above excludes the host side, which dominated the full-scale drill
+    (speed_pre 25-30 ms/img through the tunnel before pipelining)."""
+    import tempfile
+
+    import jax
+
+    from event_representation_study_tpu.data.gen1 import (
+        Gen1H5,
+        write_gen1_fixture,
+    )
+    from event_representation_study_tpu.data.loader import EventBatchLoader
+    from event_representation_study_tpu.models import build_model
+    from event_representation_study_tpu.train.evaler import Evaler
+    from event_representation_study_tpu.utils.config import load_config
+
+    import functools
+    import pathlib
+
+    B = int(os.environ.get("BENCH_EVALER_BATCH", 8))
+    S = int(os.environ.get("BENCH_EVALER_IMG", 640))
+    NE = int(os.environ.get("BENCH_EVALER_EVENTS", 50000))
+    overrides = os.environ.get("BENCH_DETECTOR_OVERRIDES", "")
+    cfg = load_config(
+        "configs/gen1_optimized.py",
+        overrides=[o for o in overrides.split(",") if o],
+    )
+    with tempfile.TemporaryDirectory(prefix="bench_evaler_") as td:
+        h5 = pathlib.Path(td) / "validation.h5"
+        write_gen1_fixture(h5, num_files=2, boxes_per_file=80,
+                           events_per_file=1_500_000, seed=3, blosc=True)
+        ds = Gen1H5(h5, task="val", num_events=NE)
+        loader = EventBatchLoader(ds, B, img_size=S, shuffle=False,
+                                  drop_last=False)
+        model = build_model(cfg, num_classes=2)
+        import jax.numpy as jnp
+
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, S, S, 12))
+        )
+        ev = Evaler(model, loader, 2, "OptimizedRepresentation", img_size=S)
+        t0 = time.perf_counter()
+        ev.run(variables)  # compile + first pass
+        compile_pass_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        stats = ev.run(variables)  # warm, measured
+        wall = time.perf_counter() - t0
+        n = len(ds)
+        return {
+            "evaler_e2e_ms_per_img": round(wall / n * 1e3, 2),
+            "evaler_e2e_imgs": n,
+            "evaler_first_pass_s": round(compile_pass_s, 1),
+            "evaler_pre_ms": round(stats.get("speed_pre_ms", -1.0), 2),
+            "evaler_infer_ms": round(stats.get("speed_infer_nms_ms", -1.0), 2),
+            "evaler_post_ms": round(stats.get("speed_post_ms", -1.0), 2),
+        }
 
 
 def bench_aug_step_section(aug_mode: str = "image"):

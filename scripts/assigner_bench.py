@@ -91,11 +91,11 @@ def main():
     rows["topk_ms"] = timeit(
         jax.jit(lambda m: jax.lax.top_k(m, K)[1]), metrics)
     rows["onehot_ms"] = timeit(
-        jax.jit(functools.partial(_topk_mask, topk=K)), metrics, tmask)
+        jax.jit(lambda m, t: _topk_mask(m, K, t)), metrics, tmask)
     rows["iou_ms"] = timeit(jax.jit(iou_batch), gt_bboxes, pd_bboxes)
     rows["scatterdup_ms"] = timeit(jax.jit(scatter_dedup), metrics, tmask)
     parity = np.array_equal(
-        np.asarray(jax.jit(functools.partial(_topk_mask, topk=K))(metrics, tmask)),
+        np.asarray(jax.jit(lambda m, t: _topk_mask(m, K, t))(metrics, tmask)),
         np.asarray(jax.jit(scatter_dedup)(metrics, tmask)),
     )
     rows["scatterdup_parity"] = bool(parity)
