@@ -89,6 +89,35 @@ def _topk_mask(metrics, topk: int, topk_mask):
     return jnp.where(is_in > 1, 0, is_in).astype(metrics.dtype)
 
 
+def _topk_khot(metrics, topk: int, row_valid):
+    """k-hot of the ``topk`` largest metrics per row — the fast-path twin of
+    :func:`_topk_mask` for the TAL case where the topk mask is PER-ROW
+    (all-True for a real gt, all-False for padding; tal_assigner.py passes
+    ``mask_gt.repeat(1, 1, topk)``, so rows are never partially masked).
+
+    ``lax.top_k`` over (B, M, 8400) is a full per-row sort — measured
+    5.7 ms of the assigner's 6.5 ms on v5e (scripts/assigner_bench.py).
+    Selecting the k-hot MASK needs no sort: ``topk`` unrolled argmax
+    passes (VPU reduce + iota-compare + knockout) produce the identical
+    selection — argmax and top_k both break ties toward the lower index —
+    for ~K linear passes over the metric tensor.
+
+    ``row_valid``: (B, M) bool; invalid rows return all-zero (the duplicate
+    suppression in _topk_mask zeroes those rows the roundabout way)."""
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, metrics.shape, len(metrics.shape) - 1
+    )
+    m = metrics
+    khot = jnp.zeros(metrics.shape, jnp.bool_)
+    for _ in range(topk):
+        idx = jnp.argmax(m, axis=-1)[..., None]  # ties -> lowest index
+        hot = iota == idx
+        khot = khot | hot
+        m = jnp.where(hot, -jnp.inf, m)
+    khot = khot & row_valid[..., None]
+    return khot.astype(metrics.dtype)
+
+
 def task_aligned_assigner(
     pd_scores,  # (B, A, nc)
     pd_bboxes,  # (B, A, 4) image units
@@ -114,8 +143,9 @@ def task_aligned_assigner(
     align_metric = jnp.power(bbox_scores, alpha) * jnp.power(overlaps, beta)
 
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)
-    tm = jnp.broadcast_to(mask_gt.astype(bool), (*mask_gt.shape[:2], topk))
-    mask_topk = _topk_mask(align_metric * mask_in_gts, topk, tm)
+    mask_topk = _topk_khot(
+        align_metric * mask_in_gts, topk, mask_gt[..., 0] > 0
+    )
     mask_pos = mask_topk * mask_in_gts * mask_gt
 
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(

@@ -39,6 +39,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from event_representation_study_tpu.train.assigners import (  # noqa: E402
+    _topk_khot,
     _topk_mask,
     iou_batch,
     task_aligned_assigner,
@@ -94,11 +95,19 @@ def main():
         jax.jit(lambda m, t: _topk_mask(m, K, t)), metrics, tmask)
     rows["iou_ms"] = timeit(jax.jit(iou_batch), gt_bboxes, pd_bboxes)
     rows["scatterdup_ms"] = timeit(jax.jit(scatter_dedup), metrics, tmask)
+    rvalid = jnp.asarray(np.ones((B, M), bool))
+    rows["khot_ms"] = timeit(
+        jax.jit(lambda m, r: _topk_khot(m, K, r)), metrics, rvalid)
     parity = np.array_equal(
         np.asarray(jax.jit(lambda m, t: _topk_mask(m, K, t))(metrics, tmask)),
         np.asarray(jax.jit(scatter_dedup)(metrics, tmask)),
     )
     rows["scatterdup_parity"] = bool(parity)
+    parity_khot = np.array_equal(
+        np.asarray(jax.jit(lambda m, t: _topk_mask(m, K, t))(metrics, tmask)),
+        np.asarray(jax.jit(lambda m, r: _topk_khot(m, K, r))(metrics, rvalid)),
+    )
+    rows["khot_parity"] = bool(parity_khot)
     rows["backend"] = jax.devices()[0].platform
     print({k: (round(v, 3) if isinstance(v, float) else v)
            for k, v in rows.items()})
