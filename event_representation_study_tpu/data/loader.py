@@ -96,12 +96,28 @@ class EventBatchLoader:
                 rng.shuffle(idx)
         return idx[self.shard_id :: self.num_shards]
 
+    @staticmethod
+    def _wire_block(ev, num):
+        """Compact WIRE dtypes (x/y int16, p int8, t int32 — 9 B/event vs
+        16): host->device transfer dominated eval wall time (25-30 ms/img
+        through the tunnel, full-scale drill r4), and sensor coordinates
+        (Gen1 304x240, 1Mpx 1280x720, letterboxed <= img_size) all fit
+        int16. Device consumers upcast via EventBlock.as_int32() before any
+        arithmetic (see its docstring for why int32 is load-bearing)."""
+        from ..events.core import EventBlock
+
+        return EventBlock(
+            x=ev[:, 0].astype(np.int16),
+            y=ev[:, 1].astype(np.int16),
+            t=ev[:, 2].astype(np.int32),
+            p=ev[:, 3].astype(np.int8),
+            num=np.asarray(num, np.int32),
+        )
+
     def _make_batch(self, indices) -> Batch:
         # host numpy only: device transfer happens in the consumer thread
         # (device_put from the prefetch thread can deadlock in-process CPU
         # collectives used by sharded programs)
-        from ..events.core import EventBlock
-
         samples = [self.ds[int(i)] for i in indices]
         ev = np.stack([s.events for s in samples])  # (B, 4, N)
         from ..ops.image import letterbox_labels
@@ -144,9 +160,7 @@ class EventBatchLoader:
                     ev[bi, 2, :m] = t_k
                     ev[bi, 3, :m] = p_k
                     num[bi] = m
-                blocks = EventBlock(
-                    x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
-                )
+                blocks = self._wire_block(ev, num)
                 mask = np.arange(cap)[None, :] < nl[:, None]
                 return Batch(
                     images=None,
@@ -180,9 +194,7 @@ class EventBatchLoader:
                     for s in extras
                 ]
             num = np.array([s.num_events for s in samples], np.int32)
-            blocks = EventBlock(
-                x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
-            )
+            blocks = self._wire_block(ev, num)
             cap = samples[0].labels.shape[0]
             cap *= 4 if self.hyp.get("mosaic", 0.0) > 0 else 1
             cap *= 2 if self.hyp.get("mixup", 0.0) > 0 else 1
@@ -215,9 +227,7 @@ class EventBatchLoader:
         labels = np.stack(labels_aug)  # (B, M, 5)
         nl = np.array([s.num_labels for s in samples], np.int32)
         mask = np.arange(labels.shape[1])[None, :] < nl[:, None]
-        blocks = EventBlock(
-            x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3], num=num
-        )
+        blocks = self._wire_block(ev, num)
         # normalized cxcywh -> absolute xyxy in the letterboxed model frame
         # (the label path of gen1_2yolo.py:348-362)
         lb = np.stack(

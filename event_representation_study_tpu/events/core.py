@@ -38,15 +38,32 @@ class EventBlock:
     :mod:`..reps` is written for a single block and lifted with ``jax.vmap``.
     """
 
-    x: jax.Array  # int32 (..., N)
-    y: jax.Array  # int32 (..., N)
+    x: jax.Array  # int32 (..., N); int16 on the host->device wire
+    y: jax.Array  # int32 (..., N); int16 on the wire
     t: jax.Array  # int32 (..., N) microseconds, window-relative
-    p: jax.Array  # int32 (..., N) in {-1, +1}
+    p: jax.Array  # int32 (..., N) in {-1, +1}; int8 on the wire
     num: jax.Array  # int32 (...,) number of valid events
 
     @property
     def capacity(self) -> int:
         return self.x.shape[-1]
+
+    def as_int32(self) -> "EventBlock":
+        """Upcast a compact wire-format block (x/y int16, p int8 — 9 B/event
+        vs 16, shipped that way because host->device transfer dominated eval
+        through the tunnel) to the int32 every rep kernel computes in.
+        int32 is load-bearing: JAX's weak typing keeps ``y * width + x`` in
+        the NARROW input dtype, and 240*304 already overflows int16. No-op
+        (returns self) for blocks that are already int32."""
+        if all(a.dtype == jnp.int32 for a in (self.x, self.y, self.t, self.p)):
+            return self
+        return EventBlock(
+            x=self.x.astype(jnp.int32),
+            y=self.y.astype(jnp.int32),
+            t=self.t.astype(jnp.int32),
+            p=self.p.astype(jnp.int32),
+            num=self.num.astype(jnp.int32),
+        )
 
     @property
     def mask(self) -> jax.Array:

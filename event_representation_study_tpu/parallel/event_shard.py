@@ -70,6 +70,7 @@ def sharded_histogram(blocks: EventBlock, height: int, width: int,
     Returns the full (B, H, W, 2), replicated along "event"."""
 
     def shard_fn(x, y, p, num):
+    blocks = blocks.as_int32()  # accept wire-format blocks
         # leaves: (B_local, N_local); num: (B_local,)
         n_local = x.shape[-1]
         idx = jax.lax.axis_index("event")
@@ -104,6 +105,7 @@ def sharded_voxel_grid(blocks: EventBlock, height: int, width: int,
     per-shard bilinear scatter, psum-combined. (B, H, W, n_time_bins)."""
 
     def shard_fn(x, y, t, p, num):
+    blocks = blocks.as_int32()  # accept wire-format blocks
         t = t.astype(jnp.float32)
 
         def one(x_i, y_i, t_i, p_i, num_i):
@@ -173,6 +175,7 @@ def sharded_mdes(
     plan = _plan(windows, funcs, aggs)
 
     def shard_fn(x, y, t, p, num):
+    blocks = blocks.as_int32()  # accept wire-format blocks
         B_local, n_local = x.shape
         t = t.astype(jnp.float32)
         idx = jax.lax.axis_index("event")
@@ -248,6 +251,8 @@ def sharded_tore(blocks: EventBlock, height: int, width: int, mesh: Mesh,
     hw = height * width
 
     def shard_fn(x, y, t, p, num):
+    blocks = blocks.as_int32()  # accept wire-format blocks
+    blocks = blocks.as_int32()  # accept wire-format blocks
         B_local, n_local = x.shape
         t = t.astype(jnp.float32)
         idx = jax.lax.axis_index("event")
@@ -328,6 +333,7 @@ def sharded_time_surface(blocks: EventBlock, height: int, width: int,
     hw = height * width
 
     def shard_fn(x, y, t, p, num):
+    blocks = blocks.as_int32()  # accept wire-format blocks
         B_local, n_local = x.shape
         t = t.astype(jnp.float32)
         idx = jax.lax.axis_index("event")

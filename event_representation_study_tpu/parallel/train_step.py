@@ -96,6 +96,10 @@ def make_train_step(
             )
 
     def images_of(batch: Batch):
+        if batch.events is not None:
+            # wire-format blocks (x/y int16, p int8) upcast once at device
+            # entry; int32 is required downstream (EventBlock.as_int32)
+            batch = batch._replace(events=batch.events.as_int32())
         if learned:
             # raw events feed the model's trainable QuantizationLayer
             # (yolo.py:56-67); no /255 on this path (engine.py:628-635)
@@ -316,6 +320,8 @@ def make_eval_step(model, representation: Optional[str] = None,
     )
 
     def eval_step(variables, batch: Batch):
+        if batch.events is not None:
+            batch = batch._replace(events=batch.events.as_int32())
         if learned:
             # quantization layer inside the model; skip /255
             # (evaler.py:126-132, 162-164)

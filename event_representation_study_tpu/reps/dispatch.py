@@ -92,13 +92,15 @@ def batched_representation(name: str, height: int, width: int) -> Callable:
         if fused is not None:
             @jax.jit
             def fn(blocks: EventBlock):
-                return fused(blocks, height, width) * 255.0
+                return fused(blocks.as_int32(), height, width) * 255.0
 
             return fn
 
     @jax.jit
     def fn(blocks: EventBlock):
-        return jax.vmap(lambda b: build_representation(name, b, height, width))(blocks)
+        return jax.vmap(
+            lambda b: build_representation(name, b, height, width)
+        )(blocks.as_int32())
 
     return fn
 
