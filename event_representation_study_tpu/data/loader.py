@@ -10,6 +10,7 @@ assembly is pure slicing/stacking.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator, Optional
@@ -102,10 +103,23 @@ class EventBatchLoader:
         16): host->device transfer dominated eval wall time (25-30 ms/img
         through the tunnel, full-scale drill r4), and sensor coordinates
         (Gen1 304x240, 1Mpx 1280x720, letterboxed <= img_size) all fit
-        int16. Device consumers upcast via EventBlock.as_int32() before any
-        arithmetic (see its docstring for why int32 is load-bearing)."""
+        int16. Upcast to int32 happens ONCE at the device-entry boundary —
+        events.core.wire_compat for EventBlock-first entries,
+        parallel.train_step.batch_on_device for Batch entries (see
+        EventBlock.as_int32 for why int32 is load-bearing).
+
+        ``ERS_WIRE=int32`` ships full-width blocks instead — the A/B knob
+        that quantifies the transfer saving (bench evaler_e2e section)."""
         from ..events.core import EventBlock
 
+        if os.environ.get("ERS_WIRE") == "int32":
+            return EventBlock(
+                x=ev[:, 0].astype(np.int32),
+                y=ev[:, 1].astype(np.int32),
+                t=ev[:, 2].astype(np.int32),
+                p=ev[:, 3].astype(np.int32),
+                num=np.asarray(num, np.int32),
+            )
         return EventBlock(
             x=ev[:, 0].astype(np.int16),
             y=ev[:, 1].astype(np.int16),

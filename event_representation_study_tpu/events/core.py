@@ -21,6 +21,7 @@ Conventions (matching the reference data, gen1_2yolo.py:567-571):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -75,6 +76,25 @@ class EventBlock:
         """int32 (..., N): position of each event within the block."""
         shape = self.x.shape
         return jnp.broadcast_to(jnp.arange(shape[-1], dtype=jnp.int32), shape)
+
+
+def wire_compat(fn):
+    """Device-entry boundary for wire-format blocks.
+
+    Decorates a function whose FIRST argument is an :class:`EventBlock` so
+    it accepts both compute-format (int32) and compact wire-format blocks
+    (x/y int16, p int8 — 9 B/event, see data/loader.py _wire_block). This is
+    THE single upcast site for EventBlock-first entry points; Batch-level
+    entry points normalize via parallel.train_step.batch_on_device. Apply it
+    UNDER ``jax.jit`` so the convert fuses into the compiled program instead
+    of dispatching eagerly.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(blocks, *args, **kwargs):
+        return fn(blocks.as_int32(), *args, **kwargs)
+
+    return wrapped
 
 
 def pad_events(

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..events.core import EventBlock
+from ..events.core import EventBlock, wire_compat
 from ..ops import scatter
 
 
@@ -64,13 +64,13 @@ def _global_meta(x_local, t_local, num, axis: str):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "mesh"))
+@wire_compat
 def sharded_histogram(blocks: EventBlock, height: int, width: int,
                       mesh: Mesh) -> jnp.ndarray:
     """Event-sharded ToImage: partial per-shard counts + one psum over ICI.
     Returns the full (B, H, W, 2), replicated along "event"."""
 
     def shard_fn(x, y, p, num):
-    blocks = blocks.as_int32()  # accept wire-format blocks
         # leaves: (B_local, N_local); num: (B_local,)
         n_local = x.shape[-1]
         idx = jax.lax.axis_index("event")
@@ -99,13 +99,13 @@ def sharded_histogram(blocks: EventBlock, height: int, width: int,
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "n_time_bins", "mesh"))
+@wire_compat
 def sharded_voxel_grid(blocks: EventBlock, height: int, width: int,
                        mesh: Mesh, n_time_bins: int = 12) -> jnp.ndarray:
     """Event-sharded bilinear voxel grid: global (t_first, t_last) via psum,
     per-shard bilinear scatter, psum-combined. (B, H, W, n_time_bins)."""
 
     def shard_fn(x, y, t, p, num):
-    blocks = blocks.as_int32()  # accept wire-format blocks
         t = t.astype(jnp.float32)
 
         def one(x_i, y_i, t_i, p_i, num_i):
@@ -145,6 +145,7 @@ def sharded_voxel_grid(blocks: EventBlock, height: int, width: int,
     static_argnames=("height", "width", "windows", "funcs", "aggs",
                      "stacking", "mesh", "interpret"),
 )
+@wire_compat
 def sharded_mdes(
     blocks: EventBlock,
     height: int,
@@ -175,7 +176,6 @@ def sharded_mdes(
     plan = _plan(windows, funcs, aggs)
 
     def shard_fn(x, y, t, p, num):
-    blocks = blocks.as_int32()  # accept wire-format blocks
         B_local, n_local = x.shape
         t = t.astype(jnp.float32)
         idx = jax.lax.axis_index("event")
@@ -237,6 +237,7 @@ def sharded_ergo12(blocks: EventBlock, height: int, width: int, mesh: Mesh,
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "mesh", "k")
 )
+@wire_compat
 def sharded_tore(blocks: EventBlock, height: int, width: int, mesh: Mesh,
                  k: int = 6) -> jnp.ndarray:
     """Event-sharded TORE: per-shard top-k most-recent timestamps per
@@ -251,8 +252,6 @@ def sharded_tore(blocks: EventBlock, height: int, width: int, mesh: Mesh,
     hw = height * width
 
     def shard_fn(x, y, t, p, num):
-    blocks = blocks.as_int32()  # accept wire-format blocks
-    blocks = blocks.as_int32()  # accept wire-format blocks
         B_local, n_local = x.shape
         t = t.astype(jnp.float32)
         idx = jax.lax.axis_index("event")
@@ -315,6 +314,7 @@ def sharded_tore(blocks: EventBlock, height: int, width: int, mesh: Mesh,
     static_argnames=("height", "width", "mesh", "tau", "n_slices",
                      "interpret"),
 )
+@wire_compat
 def sharded_time_surface(blocks: EventBlock, height: int, width: int,
                          mesh: Mesh, tau: float = 50000.0,
                          n_slices: int = 6,
@@ -333,7 +333,6 @@ def sharded_time_surface(blocks: EventBlock, height: int, width: int,
     hw = height * width
 
     def shard_fn(x, y, t, p, num):
-    blocks = blocks.as_int32()  # accept wire-format blocks
         B_local, n_local = x.shape
         t = t.astype(jnp.float32)
         idx = jax.lax.axis_index("event")

@@ -50,6 +50,18 @@ class Batch(NamedTuple):
     aug: Optional[AugPlan] = None
 
 
+def batch_on_device(batch: Batch) -> Batch:
+    """Single device-entry normalization for Batch pytrees: wire-format
+    event blocks (x/y int16, p int8 — data/loader.py _wire_block) upcast to
+    the int32 every kernel computes in (EventBlock.as_int32 docstring says
+    why int32 is load-bearing). Called as the FIRST thing inside the jitted
+    train/eval step; EventBlock-first entry points use events.core.wire_compat
+    instead. No-op for compute-format batches."""
+    if batch.events is not None:
+        batch = batch._replace(events=batch.events.as_int32())
+    return batch
+
+
 def make_train_step(
     model,
     loss_cfg: LossConfig,
@@ -96,10 +108,7 @@ def make_train_step(
             )
 
     def images_of(batch: Batch):
-        if batch.events is not None:
-            # wire-format blocks (x/y int16, p int8) upcast once at device
-            # entry; int32 is required downstream (EventBlock.as_int32)
-            batch = batch._replace(events=batch.events.as_int32())
+        batch = batch_on_device(batch)
         if learned:
             # raw events feed the model's trainable QuantizationLayer
             # (yolo.py:56-67); no /255 on this path (engine.py:628-635)
@@ -320,8 +329,7 @@ def make_eval_step(model, representation: Optional[str] = None,
     )
 
     def eval_step(variables, batch: Batch):
-        if batch.events is not None:
-            batch = batch._replace(events=batch.events.as_int32())
+        batch = batch_on_device(batch)
         if learned:
             # quantization layer inside the model; skip /255
             # (evaler.py:126-132, 162-164)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..events.core import EventBlock, from_structured
+from ..events.core import EventBlock, from_structured, wire_compat
 from .event_stack import event_stack
 from .ergo12 import ergo12
 from .histogram import event_histogram
@@ -91,16 +91,18 @@ def batched_representation(name: str, height: int, width: int) -> Callable:
             from .fused_reps import time_surface_fused_batched as fused
         if fused is not None:
             @jax.jit
+            @wire_compat
             def fn(blocks: EventBlock):
-                return fused(blocks.as_int32(), height, width) * 255.0
+                return fused(blocks, height, width) * 255.0
 
             return fn
 
     @jax.jit
+    @wire_compat
     def fn(blocks: EventBlock):
         return jax.vmap(
             lambda b: build_representation(name, b, height, width)
-        )(blocks.as_int32())
+        )(blocks)
 
     return fn
 
