@@ -13,26 +13,67 @@ Output protocol (driver-capture-proof — round-2 lesson, BENCH_r02 rc=124):
 the FIRST line printed is the complete headline JSON, flushed immediately
 after the ERGO-12 measurement.  Every further metric (TORE, detector train
 steps, strong-aug step, eval decode+NMS) is emitted as its OWN JSON line,
-each gated by a wall-clock deadline (env BENCH_DEADLINE_S, default 2400 s)
-with a per-section cost estimate: a section whose estimated cost does not
-fit in the remaining budget prints a {"skipped": ...} line instead of
-starting.  The LAST line repeats the headline object merged with every
-section result, so drivers that parse either the first or the last JSON
-line of stdout both capture the headline metric.  The full run (all
+each gated by a PLANNING budget of 80% of the wall-clock deadline (env
+BENCH_DEADLINE_S, default 2400 s) with a per-section cost estimate: a
+section whose estimated cost does not fit prints a {"skipped": ...} line
+instead of starting, and a SIGALRM watchdog bounds each section at ~1.5x
+its estimate so one overrun cannot starve the rest (round-4 lesson:
+step_anatomy passed the gate, overran, and the driver's hard kill at the
+deadline destroyed the capture).  The LAST line repeats the headline object
+merged with every section result — emitted inline, from atexit, AND from a
+SIGTERM handler (exit 0), so even a driver `timeout` kill leaves a complete
+artifact.  The full run (all
 sections) measured 17 min end-to-end on v5e with a warm remote-compile
 cache; even if an external timeout kills the process mid-section, every
 already-flushed line (headline first) is in stdout and in the
 BENCH_SECTIONS.jsonl journal.
 """
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 _T0 = time.monotonic()
-_DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE_S", 2400))
+_HARD_DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE_S", 2400))
+# Plan to 80% of the driver deadline (VERDICT r4 #2a: the r4 plan filled
+# 2385.6 of 2400 s — zero slack — and the overrun killed the capture).
+_DEADLINE = _T0 + 0.8 * float(os.environ.get("BENCH_DEADLINE_S", 2400))
+
+# --- kill-proof final artifact (VERDICT r4 #2c) ---------------------------
+# The merged headline+extras line is emitted from atexit AND from a SIGTERM
+# handler, so a driver `timeout` kill (SIGTERM, rc=124 in r2/r4) still
+# leaves a complete artifact — and exits 0, because every section that ran
+# is already flushed and journaled.
+_FINAL = {"headline": None, "extras": {}, "emitted": False}
+
+
+def _emit_final(reason=None):
+    if _FINAL["emitted"] or _FINAL["headline"] is None:
+        return
+    _FINAL["emitted"] = True
+    final = dict(_FINAL["headline"])
+    final.update(_FINAL["extras"])
+    final["total_elapsed_s"] = round(time.monotonic() - _T0, 1)
+    if reason:
+        final["finalized_by"] = reason
+    emit(final)
+
+
+def _sigterm(signum, frame):
+    _emit_final(reason=f"signal_{signum}")
+    os._exit(0)
+
+
+class SectionTimeout(Exception):
+    """Raised by the per-section SIGALRM watchdog (VERDICT r4 #2b)."""
+
+
+def _sigalrm(signum, frame):
+    raise SectionTimeout()
 
 
 def _enable_compile_cache():
@@ -52,7 +93,12 @@ def _enable_compile_cache():
 
 
 def _remaining():
+    """Seconds left in the PLANNING budget (80% of the driver deadline)."""
     return _DEADLINE - time.monotonic()
+
+
+def _remaining_hard():
+    return _HARD_DEADLINE - time.monotonic()
 
 
 def _journal_estimates(path=None):
@@ -202,8 +248,12 @@ def main():
     }
     # FIRST LINE — out before anything slow or fallible can starve it.
     emit(headline)
+    _FINAL["headline"] = headline
+    atexit.register(_emit_final, "atexit")
+    signal.signal(signal.SIGTERM, _sigterm)
+    signal.signal(signal.SIGALRM, _sigalrm)
 
-    extras = {}
+    extras = _FINAL["extras"]
 
     # --- optional sections, each its own budgeted JSON line ----------------
     # Ordered by information value so a tight deadline drops the least
@@ -236,16 +286,26 @@ def main():
         for n, e, t in sections
     ]
     emit({"section": "budget_plan",
-          "deadline_s": round(_DEADLINE - _T0),
+          "deadline_s": round(_HARD_DEADLINE - _T0),
+          "plan_deadline_s": round(_DEADLINE - _T0),
           "headline_elapsed_s": round(time.monotonic() - _T0, 1),
           "plan": [[n, e] for n, e, _ in sections],
           "calibrated_from_journal": sorted(measured)})
     for name, est, thunk in sections:
         if _remaining() < est:
             emit({"section": name, "skipped": True,
-                  "reason": f"estimated {est}s > {_remaining():.0f}s left "
-                            "(raise BENCH_DEADLINE_S to run)"})
+                  "reason": f"estimated {est}s > {_remaining():.0f}s of "
+                            "plan budget left (raise BENCH_DEADLINE_S)"})
             continue
+        # Per-section watchdog (VERDICT r4 #2b): a section that passed the
+        # gate can still overrun its estimate mid-run (r4: step_anatomy
+        # passed with 618 s left, overran, the driver's hard kill destroyed
+        # the capture). Bound it at 1.5x its estimate (min +60 s headroom
+        # for compile variance), clamped so 60 s always remain before the
+        # hard deadline for the final merged line.
+        watchdog = max(1.5 * est, est + 60.0)
+        watchdog = max(1.0, min(watchdog, _remaining_hard() - 60.0))
+        signal.setitimer(signal.ITIMER_REAL, watchdog)
         try:
             res = thunk()
             res["section"] = name
@@ -253,15 +313,18 @@ def main():
             emit(res)
             extras.update({k: v for k, v in res.items()
                            if k not in ("section", "elapsed_s")})
+        except SectionTimeout:
+            emit({"section": name, "error": "timeout",
+                  "watchdog_s": round(watchdog)})
         except Exception as e:  # never break remaining sections
             emit({"section": name,
                   "error": f"{type(e).__name__}: {e}"[:300]})
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0.0)
 
-    # LAST LINE — headline again, merged with whatever sections landed.
-    final = dict(headline)
-    final.update(extras)
-    final["total_elapsed_s"] = round(time.monotonic() - _T0, 1)
-    emit(final)
+    # LAST LINE — headline again, merged with whatever sections landed
+    # (also wired to atexit/SIGTERM so a killed run still finalizes).
+    _emit_final()
 
 
 def bench_tore(stacked, B, N):
@@ -480,21 +543,35 @@ def bench_detector_steps():
         epoch = jnp.int32(10)
         state, parts = step(state, batch, epoch)  # compile + warm
         float(parts["loss"])
+        # Median of 3 timing reps + a jitter field (VERDICT r4 #6): the
+        # per-batch protocol pays a host dispatch per step, and its +-10%
+        # tunnel jitter once INVERTED the published bf16/f32 ratio (r4:
+        # 0.88 here vs the clean scanned A/B's 1.24x). Medians tame it;
+        # the jitter_pct makes any residual inversion self-diagnosing.
         iters = int(os.environ.get("BENCH_DETECTOR_ITERS", 8))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, parts = step(state, batch, epoch)
-        loss = float(parts["loss"])  # readback forces completion
-        dt = (time.perf_counter() - t0) / iters
+        reps = []
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, parts = step(state, batch, epoch)
+            loss = float(parts["loss"])  # readback forces completion
+            reps.append((time.perf_counter() - t0) / iters)
         assert np.isfinite(loss)
+        dt = float(np.median(reps))
         out[f"detector_train_step_ms_{name}"] = round(dt * 1e3, 2)
         out[f"detector_imgs_per_s_{name}"] = round(B / dt, 1)
+        out[f"dispatch_jitter_pct_{name}"] = round(
+            (max(reps) - min(reps)) / dt * 100, 1)
         del state, step
     if out.get("detector_train_step_ms_bf16") and out.get(
             "detector_train_step_ms_f32"):
         out["bf16_speedup"] = round(
             out["detector_train_step_ms_f32"]
             / out["detector_train_step_ms_bf16"], 2,
+        )
+        out["bf16_speedup_protocol"] = (
+            "per-batch dispatch, median of 3 reps; the jitter-free A/B is "
+            "the scanned section (detector_scanned_step_ms_bf16)"
         )
     return out
 
@@ -602,7 +679,7 @@ def bench_evaler_e2e_section():
         stats = ev.run(variables)  # warm, measured
         wall = time.perf_counter() - t0
         n = len(ds)
-        return {
+        out = {
             "evaler_e2e_ms_per_img": round(wall / n * 1e3, 2),
             "evaler_e2e_imgs": n,
             "evaler_first_pass_s": round(compile_pass_s, 1),
@@ -610,6 +687,24 @@ def bench_evaler_e2e_section():
             "evaler_infer_ms": round(stats.get("speed_infer_nms_ms", -1.0), 2),
             "evaler_post_ms": round(stats.get("speed_post_ms", -1.0), 2),
         }
+        # A/B the compact wire format (VERDICT r4 #3): same Evaler with
+        # full-width int32 blocks (16 B/event vs 9) — quantifies the
+        # transfer cut that motivated the round-4 wire change. Different
+        # input dtypes mean one extra compile; budget-gated.
+        if _remaining() > 120 and not os.environ.get("ERS_WIRE"):
+            os.environ["ERS_WIRE"] = "int32"
+            try:
+                ev.run(variables)  # compile pass for the int32 signature
+                t0 = time.perf_counter()
+                stats32 = ev.run(variables)
+                wall32 = time.perf_counter() - t0
+                out["evaler_e2e_ms_per_img_int32wire"] = round(
+                    wall32 / n * 1e3, 2)
+                out["evaler_pre_ms_int32wire"] = round(
+                    stats32.get("speed_pre_ms", -1.0), 2)
+            finally:
+                del os.environ["ERS_WIRE"]
+        return out
 
 
 def bench_aug_step_section(aug_mode: str = "image"):
