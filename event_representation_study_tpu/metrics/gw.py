@@ -56,54 +56,87 @@ def kernel_bandwidth(X, mask, h: float):
     return h * jnp.sqrt(mean_sq_dist(X, mask) / 2.0)
 
 
+def _kernel_sum_tiled(Xp, n_valid, bw, chunk: int):
+    """sum_{i,j < n} exp(-d2_ij / (2 bw^2)) over a compacted cloud,
+    row-tiled so the n^2 kernel never materializes."""
+    pad_to = Xp.shape[0]
+    col_valid = (jnp.arange(pad_to, dtype=jnp.float32) < n_valid)[None, :]
+
+    def body(acc, start):
+        rs = jax.lax.dynamic_slice_in_dim(Xp, start, chunk)
+        r_idx = (start + jnp.arange(chunk, dtype=jnp.float32))[:, None]
+        K = jnp.exp(-pairwise_sq_dists(rs, Xp) / (2.0 * bw * bw))
+        return acc + jnp.sum(K * (r_idx < n_valid) * col_valid), None
+
+    starts = jnp.arange(0, pad_to, chunk)
+    acc, _ = jax.lax.scan(body, jnp.float32(0.0), starts)
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def sampled_kernel_cost(
     Xs, mask_s, Xt, mask_t, h: float = 0.7, chunk: int = 512
 ):
     """Deterministic C_p: mean over the (L x L)-padded square of
     ``|Ks - Kt|`` where L = max(n, m) and K's are the Gaussian kernels of the
-    two point clouds. Tiled over row chunks; the padded regions contribute
-    |K| of whichever cloud is larger (zeros outside both)."""
+    two point clouds (callers pass compacted clouds, valid rows first; the
+    two clouds may have DIFFERENT row capacities).
+
+    Decomposed so the |Ks - Kt| comparison is only ever computed on the
+    q x q block with q = min(n, m) — outside that block exactly one kernel
+    is nonzero, so the remainder is two kernel SUMS:
+
+        total = sum_{q x q} |Ks - Kt|
+              + (sum_{n x n} Ks - sum_{q x q} Ks)
+              + (sum_{m x m} Kt - sum_{q x q} Kt)
+
+    In the OTMI protocol the rep cloud is bounded by its crop's pixel count
+    (~3.7k for rep_size 120) while the event cloud is tens of thousands, so
+    this removes the large cloud's pairwise math against the small one
+    entirely: the big cloud contributes one tiled self-kernel sum (half the
+    per-tile work of the old two-sided |diff| scan), the small cloud and
+    the comparison block are small dense matrices."""
     hs = kernel_bandwidth(Xs, mask_s, h)
     ht = kernel_bandwidth(Xt, mask_t, h)
     n = jnp.sum(mask_s)
     m = jnp.sum(mask_t)
     L = jnp.maximum(n, m)
+    q = jnp.minimum(n, m)
 
-    cap = max(Xs.shape[0], Xt.shape[0])
-    pad_to = ((cap + chunk - 1) // chunk) * chunk
-    Xs_p = jnp.zeros((pad_to, Xs.shape[1])).at[: Xs.shape[0]].set(Xs * mask_s[:, None])
-    Xt_p = jnp.zeros((pad_to, Xt.shape[1])).at[: Xt.shape[0]].set(Xt * mask_t[:, None])
-    ms = jnp.zeros((pad_to,)).at[: Xs.shape[0]].set(mask_s.astype(jnp.float32))
-    mt = jnp.zeros((pad_to,)).at[: Xt.shape[0]].set(mask_t.astype(jnp.float32))
+    def rpad(X, mask):
+        cap = X.shape[0]
+        pad_to = ((cap + chunk - 1) // chunk) * chunk
+        return jnp.zeros((pad_to, X.shape[1])).at[:cap].set(
+            X * mask[:, None]
+        )
 
-    # valid index = position among *valid* points: compact via sorting masks
-    # — instead, require callers to pass compacted clouds (valid points first),
-    # which the host wrapper guarantees. Then row i is valid iff i < n (or m).
-    idx = jnp.arange(pad_to, dtype=jnp.float32)
-    row_s_valid = idx < n
-    row_t_valid = idx < m
+    Xs_p = rpad(Xs, mask_s)
+    Xt_p = rpad(Xt, mask_t)
+    P = min(Xs_p.shape[0], Xt_p.shape[0])  # static block size >= q
+    iP = jnp.arange(P, dtype=jnp.float32)
 
-    def body(carry, start):
-        acc = carry
-        rs = jax.lax.dynamic_slice_in_dim(Xs_p, start, chunk)
-        rt = jax.lax.dynamic_slice_in_dim(Xt_p, start, chunk)
-        r_idx = (start + jnp.arange(chunk, dtype=jnp.float32))[:, None]
-        Cs = jnp.sqrt(pairwise_sq_dists(rs, Xs_p))
-        Ct = jnp.sqrt(pairwise_sq_dists(rt, Xt_p))
-        Ks = jnp.exp(-((Cs / hs) ** 2) / 2.0)
-        Kt = jnp.exp(-((Ct / ht) ** 2) / 2.0)
-        col_s = row_s_valid[None, :]
-        col_t = row_t_valid[None, :]
-        Ks = Ks * (r_idx < n) * col_s
-        Kt = Kt * (r_idx < m) * col_t
-        in_square = (r_idx < L) * (idx[None, :] < L)
-        acc = acc + jnp.sum(jnp.abs(Ks - Kt) * in_square)
-        return acc, None
+    def kblock(Xp, bw, nv):
+        K = jnp.exp(-pairwise_sq_dists(Xp[:P], Xp[:P]) / (2.0 * bw * bw))
+        return K * (iP[:, None] < nv) * (iP[None, :] < nv)
 
-    starts = jnp.arange(0, pad_to, chunk)
-    acc, _ = jax.lax.scan(body, jnp.float32(0.0), starts)
-    return acc / jnp.maximum(L * L, 1.0)
+    Ks_blk = kblock(Xs_p, hs, n)
+    Kt_blk = kblock(Xt_p, ht, m)
+    qm = (iP[:, None] < q) * (iP[None, :] < q)
+    B_qq = jnp.sum(jnp.abs(Ks_blk - Kt_blk) * qm)
+    S_qq = jnp.sum(Ks_blk * qm)
+    T_qq = jnp.sum(Kt_blk * qm)
+    S_full = (
+        _kernel_sum_tiled(Xs_p, n, hs, chunk)
+        if Xs_p.shape[0] > P
+        else jnp.sum(Ks_blk)
+    )
+    T_full = (
+        _kernel_sum_tiled(Xt_p, m, ht, chunk)
+        if Xt_p.shape[0] > P
+        else jnp.sum(Kt_blk)
+    )
+    total = B_qq + (S_full - S_qq) + (T_full - T_qq)
+    return total / jnp.maximum(L * L, 1.0)
 
 
 def _gw_loss_terms(loss: str):

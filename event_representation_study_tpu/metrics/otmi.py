@@ -139,9 +139,13 @@ def otmi(
             costs.append(_dense_cost_np(
                 cloud_s.astype(np.float64), flat.astype(np.float64), h=h))
             continue
-        cap = capacity or _bucket_capacity(max(len(cloud_s), len(flat)))
-        Xs, ms = _pad_cloud(cloud_s.astype(np.float32), cap)
-        Xt, mt = _pad_cloud(flat.astype(np.float32), cap)
+        # per-cloud capacities: sampled_kernel_cost's q-block decomposition
+        # only pays pairwise math within each cloud, so the (usually much
+        # smaller) rep cloud no longer inflates to the event cloud's bucket
+        cap_s = capacity or _bucket_capacity(len(cloud_s))
+        cap_t = capacity or _bucket_capacity(len(flat))
+        Xs, ms = _pad_cloud(cloud_s.astype(np.float32), cap_s)
+        Xt, mt = _pad_cloud(flat.astype(np.float32), cap_t)
         costs.append(float(sampled_kernel_cost(Xs, ms, Xt, mt, h=h)))
 
     return float(np.mean(costs)) if costs else float("nan")
@@ -180,12 +184,18 @@ def otmi_batched(
     tiles never batch up in HBM) with the three quadrants unrolled.
 
     Returns (B,) float32 C_p values (NaN where every quadrant is skipped,
-    like the host path). Static shapes throughout: event clouds are carried
-    at capacity N (so no truncation is possible — a quadrant cloud can't
-    exceed the stream), rep clouds at the crop's hh*ww. Values match the
-    host :func:`otmi` exactly up to f32 reduction order (tested): padding
-    rows are masked inside :func:`sampled_kernel_cost`, so capacities do
-    not affect the result.
+    like the host path). Static shapes throughout. Two capacity bounds make
+    the quadratic kernel math cheap: (a) event clouds are carried at N/2,
+    not N — a quadrant with more than half the events is necessarily the
+    densest (all others sum to less), and the densest is dropped with
+    weight 0, so truncating it changes nothing; (b) rep clouds are carried
+    at their crop's pixel count (~3.7k), and :func:`sampled_kernel_cost`'s
+    q-block decomposition never evaluates the event kernel against the rep
+    capacity. The four quadrants run as ONE vmapped kernel-cost call
+    (uniform shapes after padding), so the per-tile matmuls batch up
+    instead of serializing. Values match the host :func:`otmi` up to f32
+    reduction order (tested): padding rows are masked inside
+    :func:`sampled_kernel_cost`, so capacities do not affect the result.
 
     Assumes events are time-sorted per sample (every loader in this
     package yields sorted streams), so the reference's positional t[0] /
@@ -197,6 +207,16 @@ def otmi_batched(
     boxes = _rep_boxes(rep_size)
     N = events.shape[1]
     BIG = 3.4e38
+    # event capacity N/2 (see docstring: a surviving quadrant can't hold
+    # more than half the stream); rounded to the tile chunk
+    cap_ev = ((N // 2 + chunk) // chunk) * chunk
+    take = min(N, cap_ev)
+    # one rep capacity across all 4 crops (their hh*ww differ by the
+    # reference's off-by-one overlap) so the quadrants vmap as one call
+    pcap = 0
+    for x0, x1, y0, y1 in boxes:
+        pcap = max(pcap, (y1 - y0) * (x1 - x0))
+    pcap = ((pcap + chunk - 1) // chunk) * chunk
 
     def one(args):
         ev, m, rep = args
@@ -209,7 +229,7 @@ def otmi_batched(
         )
         densest = jnp.argmax(counts)
 
-        costs, weights = [], []
+        Xs4, ms4, Xt4, mt4, weights = [], [], [], [], []
         for i in range(4):
             member = valid & (quad == i)
             n_mem = jnp.sum(member)
@@ -235,10 +255,15 @@ def otmi_batched(
             n_keep = jnp.sum(keep)
             cloud = jnp.stack([xs, ys, ts, ps], axis=-1)
             cloud = jnp.where(keep[:, None], cloud, 0.0)
-            # compact: keep-rows first (sampled_kernel_cost requires it)
+            # compact: keep-rows first (sampled_kernel_cost requires it),
+            # then truncate to cap_ev — only the weight-0 densest quadrant
+            # can overflow it
             order = jnp.argsort(jnp.logical_not(keep), stable=True)
             cloud = cloud[order]
-            ms = (jnp.arange(N) < n_keep).astype(jnp.float32)
+            Xs4.append(jnp.zeros((cap_ev, 4), jnp.float32).at[:take].set(
+                cloud[:take]))
+            ms4.append((jnp.arange(cap_ev)
+                        < jnp.minimum(n_keep, cap_ev)).astype(jnp.float32))
 
             x0, x1, y0, y1 = boxes[i]
             crop = rep[y0:y1, x0:x1, :]
@@ -257,22 +282,19 @@ def otmi_batched(
             flat = jnp.where(nz[:, None], flat, 0.0)
             order_t = jnp.argsort(jnp.logical_not(nz), stable=True)
             flat = flat[order_t]
-            # pad the smaller cloud's rows so both share one row space
-            cap = max(N, hh * ww)
-            cap = ((cap + chunk - 1) // chunk) * chunk
-            Xs = jnp.zeros((cap, 4), jnp.float32).at[:N].set(cloud)
-            Xt = jnp.zeros((cap, C + 2), jnp.float32).at[: hh * ww].set(flat)
-            ms_p = jnp.zeros((cap,), jnp.float32).at[:N].set(ms)
-            mt_p = (jnp.arange(cap) < n_nz).astype(jnp.float32)
+            Xt4.append(jnp.zeros((pcap, C + 2), jnp.float32).at[: hh * ww]
+                       .set(flat))
+            mt4.append((jnp.arange(pcap) < n_nz).astype(jnp.float32))
 
-            w = ((i != densest) & (n_mem > 0) & (n_keep > 0)
-                 & (n_nz > 0)).astype(jnp.float32)
-            c = sampled_kernel_cost(Xs, ms_p, Xt, mt_p, h=h, chunk=chunk)
-            costs.append(jnp.where(w > 0, c, 0.0))
-            weights.append(w)
+            weights.append(((i != densest) & (n_mem > 0) & (n_keep > 0)
+                            & (n_nz > 0)).astype(jnp.float32))
 
-        cs = jnp.stack(costs)
+        cs = jax.vmap(
+            lambda a, b, c, d: sampled_kernel_cost(a, b, c, d, h=h,
+                                                   chunk=chunk)
+        )(jnp.stack(Xs4), jnp.stack(ms4), jnp.stack(Xt4), jnp.stack(mt4))
         ws = jnp.stack(weights)
+        cs = jnp.where(ws > 0, cs, 0.0)
         tot = jnp.sum(ws)
         return jnp.where(tot > 0, jnp.sum(cs * ws) / tot, jnp.nan)
 
