@@ -303,7 +303,11 @@ def main():
         # the capture). Bound it at 1.5x its estimate (min +60 s headroom
         # for compile variance), clamped so 60 s always remain before the
         # hard deadline for the final merged line.
-        watchdog = max(1.5 * est, est + 60.0)
+        # floor at est+240: journal estimates calibrated on a different
+        # backend (or a warmer cache) can undershoot a section's one-off
+        # costs (fixture writes, cold compiles) by minutes — the watchdog
+        # is for OVERRUNS, not for punishing a stale estimate
+        watchdog = max(1.5 * est, est + 240.0)
         watchdog = max(1.0, min(watchdog, _remaining_hard() - 60.0))
         signal.setitimer(signal.ITIMER_REAL, watchdog)
         try:
