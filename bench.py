@@ -797,10 +797,35 @@ def bench_aug_step_section(aug_mode: str = "image"):
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(loss)
     suffix = "_aug" if aug_mode == "image" else "_aug_event"
-    return {
+    out = {
         f"detector_train_step_ms_bf16{suffix}": round(dt * 1e3, 2),
         f"detector_imgs_per_s_bf16{suffix}": round(B / dt, 1),
     }
+    if aug_mode == "image":
+        # driver-visible warp floor (VERDICT r4 #7): the routed single
+        # gather is row-count-bound — bf16 halves the bytes for only ~1.15x
+        # (scripts/warp_bench.py: 96.1 -> 83.3 ms at 8x640^2x12 on v5e), so
+        # the residual gap to the base step is the per-row gather cost, not
+        # bandwidth. Measured here so regressions/improvements are tracked.
+        from event_representation_study_tpu.ops.warp import compose_warp
+
+        rep12 = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 255, (B, S, S, 12)),
+            jnp.float32,
+        )
+        for wname, gd in (("f32", None), ("bf16", jnp.bfloat16)):
+            wfn = jax.jit(
+                lambda im, _gd=gd: compose_warp(im, batch.aug, S,
+                                                gather_dtype=_gd)
+            )
+            float(jnp.sum(wfn(rep12).astype(jnp.float32)))  # compile+warm
+            t0 = time.perf_counter()
+            for _ in range(4):
+                r = wfn(rep12)
+            float(jnp.sum(r.astype(jnp.float32)))
+            out[f"warp_only_ms_{wname}"] = round(
+                (time.perf_counter() - t0) / 4 * 1e3, 2)
+    return out
 
 
 def bench_scanned_dispatch_section():

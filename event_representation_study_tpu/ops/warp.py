@@ -116,6 +116,7 @@ def compose_warp(
     plan: AugPlan,
     out_size: int,
     pad_value: float = PAD_VALUE,
+    gather_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Execute the plan: mosaic-route + affine-sample + mixup-blend.
 
@@ -131,7 +132,15 @@ def compose_warp(
     450 ms for per-tile gathers), so this is the difference between the
     warp dominating the strong-aug train step and riding along.
 
-    Returns (B, out_size, out_size, C) with B = plan rows."""
+    ``gather_dtype`` narrows the gathered SOURCE only (weights and the
+    bilinear accumulation stay f32): bf16 halves gather bytes for a
+    measured 96.1 -> 83.3 ms on v5e (scripts/warp_bench.py — only 1.15x,
+    confirming row-count, not bandwidth, sets the floor). Training passes
+    bf16 here (the rep is cast to bf16 at the first conv anyway, and the
+    <=1-LSB-of-255 rounding is augmentation-noise-sized); parity paths
+    leave it None.
+
+    Returns (B, out_size, out_size, C) in the images dtype, B = plan rows."""
     B = plan.src_idx.shape[0]
     P, H, W, C = images.shape
     sx, sy, src, covered = route_output_pixels(plan, out_size)
@@ -145,7 +154,8 @@ def compose_warp(
     y0 = jnp.floor(sy)
     wx = sx - x0
     wy = sy - y0
-    padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    gathered = images if gather_dtype is None else images.astype(gather_dtype)
+    padded = jnp.pad(gathered, ((0, 0), (1, 1), (1, 1), (0, 0)))
     starts = jnp.stack(
         [
             src.reshape(-1),
@@ -164,7 +174,8 @@ def compose_warp(
         mode=lax.GatherScatterMode.CLIP,
     ).reshape(B, out_size, out_size, 2, 2, C)
 
-    out = jnp.zeros((B, out_size, out_size, C), images.dtype)
+    acc_dtype = jnp.promote_types(images.dtype, jnp.float32)
+    out = jnp.zeros((B, out_size, out_size, C), acc_dtype)
     for dy in (0, 1):
         for dx in (0, 1):
             w = ((1 - wx) if dx == 0 else wx) * ((1 - wy) if dy == 0 else wy)
@@ -173,8 +184,8 @@ def compose_warp(
                 & (y0 + dy >= 0) & (y0 + dy < H) & covered
             )
             v = jnp.where(valid[..., None], patches[:, :, :, dy, dx, :],
-                          pad_value)
-            out = out + w[..., None] * v
+                          jnp.asarray(pad_value, patches.dtype))
+            out = out + w[..., None] * v.astype(acc_dtype)
 
     r = plan.mix_r[:, None, None, None]
-    return r * out + (1.0 - r) * out[plan.mix_idx]
+    return (r * out + (1.0 - r) * out[plan.mix_idx]).astype(images.dtype)

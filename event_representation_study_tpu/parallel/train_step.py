@@ -91,6 +91,13 @@ def make_train_step(
     (engine.py:78-80)."""
 
     H, W = rep_hw
+    # narrow the warp's SOURCE gather to the model compute dtype: the warped
+    # rep is cast to bf16 at the first conv anyway, and the bf16 gather is
+    # measured 1.15x faster (ops/warp.py compose_warp gather_dtype; the
+    # bilinear accumulation stays f32 either way)
+    _warp_gd = (
+        jnp.bfloat16 if getattr(model, "dtype", None) == jnp.bfloat16 else None
+    )
     learned = representation == "LearnedRepresentation"
     rep_fn = (
         batched_representation(representation, H, W)
@@ -119,7 +126,8 @@ def make_train_step(
                 # loader ships 0-255 letterboxed tiles (+ partner rows);
                 # mosaic/affine/flip/mixup compose on device like the
                 # reference's cv2 path (datasets.py:96-177), then /255
-                img = compose_warp(batch.images, batch.aug, img_size)
+                img = compose_warp(batch.images, batch.aug, img_size,
+                                   gather_dtype=_warp_gd)
                 return img[: batch.gt_labels.shape[0]] / 255.0
             return batch.images
         if batch.aug is not None and aug_mode == "event":
@@ -145,7 +153,8 @@ def make_train_step(
             # (loader partner_pool); compose all pool rows (mixup partners
             # need their own composed output, like the reference's fresh
             # mosaic per mixup call) and emit only the labeled ones
-            img = compose_warp(img, batch.aug, img_size)
+            img = compose_warp(img, batch.aug, img_size,
+                               gather_dtype=_warp_gd)
             img = img[: batch.gt_labels.shape[0]]
         return img / 255.0
 

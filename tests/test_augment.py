@@ -26,6 +26,33 @@ def test_compose_warp_identity():
     np.testing.assert_allclose(out, imgs, atol=1e-4)
 
 
+def test_compose_warp_bf16_gather_close():
+    """The bf16-narrowed gather (the training default when the model runs
+    bf16) stays within one bf16 LSB of the f32 path on the 0..255 scale —
+    the weights/accumulation are f32 either way, only the gathered source
+    is rounded (ops/warp.py compose_warp gather_dtype)."""
+    from event_representation_study_tpu.data.augment import plan_augment_batch
+    from event_representation_study_tpu.ops.warp import AugPlan, compose_warp
+
+    rng = np.random.default_rng(3)
+    B, S = 4, 64
+    imgs = rng.uniform(0, 255, (B, S, S, 3)).astype(np.float32)
+    labels = [
+        np.array([[0.0, 5.0, 5.0, 30.0, 30.0]], np.float32) for _ in range(B)
+    ]
+    hyp = dict(mosaic=1.0, mixup=0.5, degrees=10.0, translate=0.2,
+               scale=0.5, shear=2.0, fliplr=0.5, flipud=0.0)
+    plan, _, _ = plan_augment_batch(labels, S, hyp, np.random.default_rng(5), 8)
+    plan = AugPlan(**{k: jnp.asarray(v) for k, v in plan.items()})
+    ref = np.asarray(compose_warp(jnp.asarray(imgs), plan, S))
+    fast = np.asarray(
+        compose_warp(jnp.asarray(imgs), plan, S, gather_dtype=jnp.bfloat16)
+    )
+    assert fast.dtype == np.float32
+    # one bf16 LSB at 255 is 1.0; bilinear mixes 4 rounded taps
+    np.testing.assert_allclose(fast, ref, atol=1.01)
+
+
 def test_compose_warp_matches_scipy_affine():
     """Single-tile affine warp == scipy.ndimage.affine_transform with the
     (x,y)->(row,col) axis conversion, bilinear, constant pad 114."""
