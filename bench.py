@@ -782,10 +782,20 @@ def bench_aug_step_section(aug_mode: str = "image"):
         _solver(B),
     )
     state = init_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    # image mode runs the engine's production executor choice: the
+    # separable two-pass warp when the recipe hyp fits its roll pad
+    # (train/engine.py warp_impl auto; ops/warp.py)
+    from event_representation_study_tpu.ops.warp import separable_hyp_eligible
+
+    warp_impl = (
+        "separable"
+        if aug_mode == "image" and separable_hyp_eligible(hyp, S)
+        else "exact"
+    )
     step = make_train_step(model, LossConfig(num_classes=2), tx,
                            representation="OptimizedRepresentation",
                            rep_hw=(H, W), img_size=S, donate=True,
-                           aug_mode=aug_mode)
+                           aug_mode=aug_mode, warp_impl=warp_impl)
     epoch = jnp.int32(10)
     state, parts = step(state, batch, epoch)
     float(parts["loss"])

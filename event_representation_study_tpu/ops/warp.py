@@ -19,8 +19,10 @@ consumed here.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -186,6 +188,242 @@ def compose_warp(
             v = jnp.where(valid[..., None], patches[:, :, :, dy, dx, :],
                           jnp.asarray(pad_value, patches.dtype))
             out = out + w[..., None] * v.astype(acc_dtype)
+
+    r = plan.mix_r[:, None, None, None]
+    return (r * out + (1.0 - r) * out[plan.mix_idx]).astype(images.dtype)
+
+
+# --------------------------------------------------------------------------
+# Separable fast path: the per-output-pixel routed gather above is
+# row-count-bound (3.27M gather rows, ~29 ns/row = ~96 ms at 8x640^2x12 on
+# v5e; bf16 only 1.15x). The warp factors exactly into two 1-D resampling
+# passes over a STATICALLY composed source grid, replacing the per-pixel
+# gather with B*(2S+S) contiguous row-rolls plus shared-index tap
+# selections — ~1000x fewer gather rows.
+#
+# Key identity: the reference mosaic canvas (4 tiles meeting at a random
+# center (xc, yc), data_augment.py:187-268) equals a STATIC 2x2 quadrant
+# grid of the 4 source images ("fixed"), translated by Delta = (xc-S, yc-S)
+# and cropped to the tile union. Delta is exactly tile_offsets[:, 0], so
+# the canvas never needs dynamic composition: fold Delta into the affine
+# offsets and sample `fixed` directly, masking to the union rectangle
+# [max(0,-Delta), min(ext, ext-Delta)) (ext = 2S mosaic / S plain).
+#
+# Factorization (output (x,y) -> fixed (cx,cy), a = d(cx)/dx != 0):
+#   pass V (resolve rows):  out1(y, v) = fixed(p*v + q*y + r0, v)
+#       p = d/a, q = e - d*b/a, r0 = f - d*c/a
+#   pass H (resolve cols):  out(y, x) = out1(y, a*x + b*y + c)
+# Sample POSITIONS are exact (out reads fixed at exactly (cy, cx)); the
+# only deviation from the one-pass bilinear is that pass V evaluates the
+# two interpolating rows at column positions differing by p (<=0.03 px for
+# the paper recipe) instead of both at cx — far below the event-space
+# executor's accepted rasterization deviation (NOTES aug A/B).
+#
+# Each pass handles its cross-term (p*v resp. b*y) with a per-row integer
+# roll (contiguous (1, W, C) gather slices) and the residual +-0.5 px
+# fractional via FOUR taps k in {-1,0,1,2} around the shared per-column
+# floor index, hat-weighted elementwise — exact linear interpolation, and
+# per-tap out-of-region masking to PAD_VALUE reproduces the exact path's
+# per-corner grid-constant border semantics.
+
+WARP_SEP_PAD = 192  # static roll capacity (px); see separable_eligible
+
+
+def separable_eligible(plan: AugPlan, out_size: int,
+                       pad: int = WARP_SEP_PAD) -> bool:
+    """Host-side check that every sample's cross-terms fit the static roll
+    pad (|d/a|*2S and |b|*S bounded) and the x-slope is invertible. The
+    paper recipe (degrees .373, shear .602, scale .898) needs rolls of
+    ~16 px — far inside the 192 default; extreme test hyps fall back to
+    the exact path."""
+    inv = np.asarray(plan.inv_affine, np.float64)
+    a, b = inv[:, 0, 0], inv[:, 0, 1]
+    d = inv[:, 1, 0]
+    if np.any(np.abs(a) < 1e-3):
+        return False
+    if float(np.max(np.abs(d / a))) * 2 * out_size + 2 > pad:
+        return False
+    if float(np.max(np.abs(b))) * out_size + 2 > pad:
+        return False
+    return True
+
+
+def separable_hyp_eligible(hyp: dict, out_size: int,
+                           pad: int = WARP_SEP_PAD) -> bool:
+    """Static (per-run) eligibility from the hyp RANGES, so the engine can
+    pick one executor before compiling. The plan affine is
+    inv = C^-1 (SR)^-1 T^-1 (+/- flip column signs, data/augment.py
+    get_transform_matrix); only (SR)^-1 = Rot(-th)/s @ [[1,-tx],[-ty,1]]
+    /(1-tx*ty) touches the cross-terms, so max |b| and |d/a| over a dense
+    grid of the angle/shear box at the scale extremes (x1.2 margin) bounds
+    every plan the hyp can emit."""
+    deg = math.radians(float(hyp.get("degrees", 0.0)))
+    sh = math.radians(float(hyp.get("shear", 0.0)))
+    s_lo = 1.0 - float(hyp.get("scale", 0.0))
+    if s_lo < 1e-2:
+        return False  # near-singular zoom: |d/a| unbounded
+    th = np.linspace(-deg, deg, 41)[:, None, None]
+    tx = np.tan(np.linspace(-sh, sh, 21))[None, :, None]
+    ty = np.tan(np.linspace(-sh, sh, 21))[None, None, :]
+    # forward M2 = Shear @ Rot (x common factor s); inverse via adjugate
+    m00 = np.cos(th) - tx * np.sin(th)
+    m01 = np.sin(th) + tx * np.cos(th)
+    m10 = ty * np.cos(th) - np.sin(th)
+    m11 = ty * np.sin(th) + np.cos(th)
+    detn = m00 * m11 - m01 * m10
+    a = m11 / (s_lo * detn)
+    b = -m01 / (s_lo * detn)
+    d_over_a = -m10 / np.where(np.abs(m11) < 1e-9, 1e-9, m11)
+    if float(np.min(np.abs(a))) * s_lo / (1.0 + float(hyp.get("scale", 0.0))) \
+            < 1e-3 or float(np.min(np.abs(m11))) < 1e-3:
+        return False
+    margin = 1.2
+    if margin * float(np.max(np.abs(d_over_a))) * 2 * out_size + 2 > pad:
+        return False
+    if margin * float(np.max(np.abs(b))) * out_size + 2 > pad:
+        return False
+    return True
+
+
+def _hat(t):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _tap_select(rolled, idx, impl: str):
+    """Select columns of ``rolled`` (R, W, C) at shared indices ``idx``
+    (N,) -> (R, N, C). 'take' is an axis-1 gather (strided column slices);
+    'mm' routes the selection through the MXU as a 0/1 bf16 matmul —
+    whichever measures faster on the target (scripts/warp_sep_bench.py)."""
+    if impl == "take":
+        return jnp.take(rolled, idx, axis=1)
+    # 0/1 selection matmul: exact in any dtype (one nonzero per column).
+    # Keep the operand dtype — bf16 inputs ride the MXU on TPU; f32 inputs
+    # stay f32 (CPU's dot thunk has no BF16xBF16=F32 path).
+    ct = rolled.dtype
+    onehot = (
+        idx[None, :] == jnp.arange(rolled.shape[1], dtype=idx.dtype)[:, None]
+    ).astype(ct)
+    return jnp.einsum(
+        "vwc,wy->vyc", rolled, onehot,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def compose_warp_separable(
+    images: jnp.ndarray,  # (P, S, S, C) — letterboxed reps, 0..255 scale
+    plan: AugPlan,
+    out_size: int,
+    pad_value: float = PAD_VALUE,
+    gather_dtype: Optional[jnp.dtype] = None,
+    pad: int = WARP_SEP_PAD,
+    tap_impl: str = "take",
+) -> jnp.ndarray:
+    """Separable two-pass executor of the same AugPlan as compose_warp.
+    Caller must have checked :func:`separable_eligible` on the plan (the
+    rolls silently clip otherwise). Returns (B, out_size, out_size, C)."""
+    from jax import lax
+
+    S = out_size
+    W = 2 * S
+    B = plan.src_idx.shape[0]
+    C = images.shape[-1]
+    src = images if gather_dtype is None else images.astype(gather_dtype)
+
+    inv = plan.inv_affine.astype(jnp.float32)
+    a, b = inv[:, 0, 0], inv[:, 0, 1]
+    d, e = inv[:, 1, 0], inv[:, 1, 1]
+    # fold the canvas shift Delta (= TL tile offset) into the offsets
+    dxy = plan.tile_offsets[:, 0].astype(jnp.float32)  # (B, 2)
+    c = inv[:, 0, 2] - dxy[:, 0]
+    f = inv[:, 1, 2] - dxy[:, 1]
+    p = d / a
+    q = e - d * b / a
+    r0 = f - d * c / a
+    mosaic = plan.tile_boxes[:, 1, 2] > plan.tile_boxes[:, 1, 0]
+    ext = jnp.where(mosaic, float(W), float(S))
+    lo_x = jnp.maximum(0.0, -dxy[:, 0])
+    hi_x = jnp.minimum(ext, ext - dxy[:, 0])
+    lo_y = jnp.maximum(0.0, -dxy[:, 1])
+    hi_y = jnp.minimum(ext, ext - dxy[:, 1])
+
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+    )
+    ys = jnp.arange(S, dtype=jnp.float32)
+    xs = ys
+    vs = jnp.arange(W, dtype=jnp.float32)
+    padv = jnp.float32(pad_value)
+
+    def one(tiles, a1, b1, c1, p1, q1, r1, lox, hix, loy, hiy):
+        # fixed 2x2 quadrant grid (pure concat — no dynamic compose)
+        fixed = jnp.concatenate(
+            [jnp.concatenate([tiles[0], tiles[1]], axis=1),
+             jnp.concatenate([tiles[2], tiles[3]], axis=1)], axis=0,
+        )  # (W, W, C)
+
+        # ---- pass V: resolve rows, column-major layout
+        wbase = q1 * ys + r1                     # (S,)
+        j1 = jnp.floor(wbase)
+        g1 = wbase - j1                          # [0,1)
+        pv = p1 * vs                             # (W,)
+        R1 = jnp.round(pv)
+        d1 = pv - R1                             # [-0.5, 0.5]
+        fixedT = jnp.transpose(fixed, (1, 0, 2))         # (v, w, C)
+        fixedT = jnp.pad(fixedT, ((0, 0), (pad + 2, pad + 2), (0, 0)))
+        starts = jnp.stack(
+            [jnp.arange(W, dtype=jnp.int32),
+             R1.astype(jnp.int32) + pad + 1], axis=-1,
+        )
+        rolled = lax.gather(fixedT, starts, dn, slice_sizes=(1, W + 3, C),
+                            mode=lax.GatherScatterMode.CLIP)  # (v, W+3, C)
+        j1i = j1.astype(jnp.int32)
+        acc = jnp.zeros((W, S, C), jnp.float32)
+        for k in range(-1, 3):
+            idx = jnp.clip(j1i + (k + 1), 0, W + 2)          # (S,)
+            tap = _tap_select(rolled, idx, tap_impl)          # (v, y, C)
+            wgt = _hat(g1[None, :] + d1[:, None] - k)         # (v, y)
+            row_abs = j1[None, :] + k + R1[:, None]
+            # the |R|<=pad-1 term degrades roll overflow (ineligible plans
+            # that slipped through) to pad instead of silently wrong pixels
+            valid = (
+                (row_abs >= loy) & (row_abs < hiy)
+                & (jnp.abs(R1)[:, None] <= pad - 1)
+            )
+            acc = acc + wgt[..., None] * jnp.where(
+                valid[..., None], tap.astype(jnp.float32), padv)
+        out1 = jnp.transpose(acc, (1, 0, 2))                  # (y, v, C)
+
+        # ---- pass H: resolve columns, row-major layout
+        xbase = a1 * xs + c1                     # (S,)
+        j2 = jnp.floor(xbase)
+        g2 = xbase - j2
+        by = b1 * ys                             # (S,)
+        R2 = jnp.round(by)
+        d2 = by - R2
+        out1p = jnp.pad(out1, ((0, 0), (pad + 2, pad + 2), (0, 0)))
+        starts2 = jnp.stack(
+            [jnp.arange(S, dtype=jnp.int32),
+             R2.astype(jnp.int32) + pad + 1], axis=-1,
+        )
+        rolled2 = lax.gather(out1p, starts2, dn, slice_sizes=(1, W + 3, C),
+                             mode=lax.GatherScatterMode.CLIP)  # (y, W+3, C)
+        j2i = j2.astype(jnp.int32)
+        acc2 = jnp.zeros((S, S, C), jnp.float32)
+        for k in range(-1, 3):
+            idx2 = jnp.clip(j2i + (k + 1), 0, W + 2)
+            tap2 = _tap_select(rolled2, idx2, tap_impl)       # (y, x, C)
+            wgt2 = _hat(g2[None, :] + d2[:, None] - k)        # (y, x)
+            col_abs = j2[None, :] + k + R2[:, None]
+            valid2 = (
+                (col_abs >= lox) & (col_abs < hix)
+                & (jnp.abs(R2)[:, None] <= pad - 1)
+            )
+            acc2 = acc2 + wgt2[..., None] * jnp.where(
+                valid2[..., None], tap2.astype(jnp.float32), padv)
+        return acc2
+
+    tiles = src[plan.src_idx.astype(jnp.int32)]   # (B, 4, S, S, C)
+    out = jax.vmap(one)(tiles, a, b, c, p, q, r0, lo_x, hi_x, lo_y, hi_y)
 
     r = plan.mix_r[:, None, None, None]
     return (r * out + (1.0 - r) * out[plan.mix_idx]).astype(images.dtype)

@@ -77,6 +77,7 @@ def make_train_step(
     temperature: float = 20.0,
     distill_feat: bool = False,
     aug_mode: str = "image",  # strong-aug executor: "image" | "event"
+    warp_impl: str = "exact",  # image executor: "exact" | "separable"
     update_ema: bool = True,
 ) -> Callable:
     """Build the fused train step. If ``representation`` is given, the step
@@ -98,6 +99,18 @@ def make_train_step(
     _warp_gd = (
         jnp.bfloat16 if getattr(model, "dtype", None) == jnp.bfloat16 else None
     )
+    # "separable": two-pass canvas resample — materialized-reference
+    # semantics (seam-blending), ~1000x fewer gather rows than the routed
+    # per-pixel gather (ops/warp.py). The engine selects it when the hyp
+    # ranges fit the static roll pad (separable_hyp_eligible).
+    assert warp_impl in ("exact", "separable")
+    if warp_impl == "separable":
+        from ..ops.warp import compose_warp_separable
+
+        _warp = functools.partial(compose_warp_separable,
+                                  gather_dtype=_warp_gd)
+    else:
+        _warp = functools.partial(compose_warp, gather_dtype=_warp_gd)
     learned = representation == "LearnedRepresentation"
     rep_fn = (
         batched_representation(representation, H, W)
@@ -126,8 +139,7 @@ def make_train_step(
                 # loader ships 0-255 letterboxed tiles (+ partner rows);
                 # mosaic/affine/flip/mixup compose on device like the
                 # reference's cv2 path (datasets.py:96-177), then /255
-                img = compose_warp(batch.images, batch.aug, img_size,
-                                   gather_dtype=_warp_gd)
+                img = _warp(batch.images, batch.aug, img_size)
                 return img[: batch.gt_labels.shape[0]] / 255.0
             return batch.images
         if batch.aug is not None and aug_mode == "event":
@@ -153,8 +165,7 @@ def make_train_step(
             # (loader partner_pool); compose all pool rows (mixup partners
             # need their own composed output, like the reference's fresh
             # mosaic per mixup call) and emit only the labeled ones
-            img = compose_warp(img, batch.aug, img_size,
-                               gather_dtype=_warp_gd)
+            img = _warp(img, batch.aug, img_size)
             img = img[: batch.gt_labels.shape[0]]
         return img / 255.0
 

@@ -305,6 +305,18 @@ class Trainer:
             )
             LOGGER.info("aug_mode auto -> %s", aug_mode)
         self.aug_mode = aug_mode
+        # image executor: the separable two-pass warp (~1000x fewer gather
+        # rows, materialized-reference seam semantics) whenever the hyp
+        # ranges fit its static roll pad; extreme hyps (large degrees/shear
+        # or scale>=1) keep the exact routed gather
+        warp_impl = "exact"
+        if aug_mode == "image" and augment:
+            from ..ops.warp import separable_hyp_eligible
+
+            if separable_hyp_eligible(dict(aug), img_size):
+                warp_impl = "separable"
+            LOGGER.info("image warp executor: %s", warp_impl)
+        self.warp_impl = warp_impl
         step_kwargs = dict(
             representation=self.representation,
             rep_hw=(self.train_ds.height, self.train_ds.width),
@@ -317,6 +329,7 @@ class Trainer:
             # "event": mosaic/affine/mixup on event coordinates
             # (reps/event_mosaic.py) — ~4x cheaper than the image warp
             aug_mode=aug_mode,
+            warp_impl=warp_impl,
         )
         self.train_step = self._with_teacher(make_train_step(
             self.model, self.loss_cfg, self.tx, **step_kwargs

@@ -53,6 +53,136 @@ def test_compose_warp_bf16_gather_close():
     np.testing.assert_allclose(fast, ref, atol=1.01)
 
 
+def _sep_setup(hyp, B=4, S=64, C=3, seed=0, smooth=False):
+    from event_representation_study_tpu.data.augment import plan_augment_batch
+    from event_representation_study_tpu.ops.warp import AugPlan
+
+    rng = np.random.default_rng(seed)
+    if smooth:
+        yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+        base = 127 + 100 * np.sin(xx / 9.0)[..., None] * np.cos(
+            yy / 7.0)[..., None]
+        imgs = np.repeat(base[None], B, 0) + rng.uniform(0, 5, (B, S, S, 1))
+        imgs = np.broadcast_to(imgs, (B, S, S, C)).astype(np.float32).copy()
+    else:
+        imgs = rng.uniform(0, 255, (B, S, S, C)).astype(np.float32)
+    labels = [
+        np.array([[0.0, 5.0, 5.0, 30.0, 30.0]], np.float32) for _ in range(B)
+    ]
+    plan_d, _, _ = plan_augment_batch(labels, S, hyp,
+                                      np.random.default_rng(seed + 1), 8)
+    return imgs, AugPlan(**{k: jnp.asarray(v) for k, v in plan_d.items()})
+
+
+def _canvas_warp_np(imgs, plan, S):
+    """Reference-semantics oracle: MATERIALIZE the mosaic canvas (tiles
+    pasted on a 114 background, data_augment.py:187-268) then inverse-warp
+    with scipy grid-constant (cv2 BORDER_CONSTANT per-corner blending).
+    This is what the reference pipeline computes; the exact device path
+    (compose_warp) deviates from it only at interior tile seams (routes to
+    one tile, pads past its crop) — the separable path should match THIS."""
+    from scipy import ndimage
+
+    plan_np = {k: np.asarray(v) for k, v in plan._asdict().items()
+               if v is not None}
+    B = plan_np["src_idx"].shape[0]
+    out = np.empty((B, S, S, imgs.shape[-1]), np.float32)
+    for i in range(B):
+        mosaic = plan_np["tile_boxes"][i, 1, 2] > plan_np["tile_boxes"][i, 1, 0]
+        ext = 2 * S if mosaic else S
+        canvas = np.full((ext, ext, imgs.shape[-1]), 114.0, np.float32)
+        for k in range(4):
+            x1, y1, x2, y2 = plan_np["tile_boxes"][i, k].astype(int)
+            if x2 <= x1 or y2 <= y1:
+                continue
+            ox, oy = plan_np["tile_offsets"][i, k].astype(int)
+            canvas[y1:y2, x1:x2] = imgs[plan_np["src_idx"][i, k],
+                                        y1 - oy:y2 - oy, x1 - ox:x2 - ox]
+        inv = plan_np["inv_affine"][i]
+        mat = np.array([[inv[1, 1], inv[1, 0]], [inv[0, 1], inv[0, 0]]])
+        off = np.array([inv[1, 2], inv[0, 2]])
+        for c in range(imgs.shape[-1]):
+            out[i, ..., c] = ndimage.affine_transform(
+                canvas[..., c], mat, offset=off, output_shape=(S, S),
+                order=1, mode="grid-constant", cval=114.0)
+    r = plan_np["mix_r"][:, None, None, None]
+    return r * out + (1 - r) * out[plan_np["mix_idx"]]
+
+
+@pytest.mark.parametrize("hyp,atol", [
+    # no rotation/shear: the factorization has zero cross-terms — the
+    # separable result IS the canvas bilinear, bit-near
+    (dict(mosaic=0.0, mixup=0.0, degrees=0.0, translate=0.3, scale=0.5,
+          shear=0.0, fliplr=0.5, flipud=0.5), 1e-2),
+    (dict(mosaic=1.0, mixup=0.5, degrees=0.0, translate=0.2, scale=0.4,
+          shear=0.0, fliplr=0.5, flipud=0.0), 1e-2),
+])
+def test_compose_warp_separable_matches_canvas_oracle(hyp, atol):
+    pytest.importorskip("scipy")
+    from event_representation_study_tpu.ops.warp import (
+        compose_warp_separable,
+        separable_eligible,
+    )
+
+    imgs, plan = _sep_setup(hyp)
+    assert separable_eligible(plan, 64)
+    ref = _canvas_warp_np(imgs, plan, 64)
+    sep = np.asarray(compose_warp_separable(jnp.asarray(imgs), plan, 64,
+                                            pad=16))
+    np.testing.assert_allclose(sep, ref, atol=atol)
+
+
+@pytest.mark.parametrize("tap_impl", ["take", "mm"])
+def test_compose_warp_separable_recipe_rotation(tap_impl):
+    """Paper-recipe rotation/shear vs the materialized-canvas oracle: tap
+    positions wobble by <=|d/a| px in pass V (ops/warp.py factorization
+    note), so on a smooth image the deviation stays under a gray level; on
+    pure noise the 99th percentile stays tiny relative to the 255 range."""
+    pytest.importorskip("scipy")
+    from event_representation_study_tpu.ops.warp import (
+        compose_warp_separable,
+        separable_eligible,
+    )
+
+    hyp = dict(mosaic=1.0, mixup=0.243, degrees=0.373, translate=0.245,
+               scale=0.898, shear=0.602, fliplr=0.5, flipud=0.0)
+    imgs, plan = _sep_setup(hyp, smooth=True, seed=3)
+    assert separable_eligible(plan, 64, pad=16)
+    ref = _canvas_warp_np(imgs, plan, 64)
+    sep = np.asarray(
+        compose_warp_separable(jnp.asarray(imgs), plan, 64, pad=16,
+                               tap_impl=tap_impl))
+    err = np.abs(sep - ref)
+    assert np.quantile(err, 0.99) < 1.0, np.quantile(err, 0.99)
+    assert err.max() < 30.0, err.max()  # isolated hard-edge pixels
+
+    imgs2, plan2 = _sep_setup(hyp, seed=11)  # pure noise, worst case
+    ref2 = _canvas_warp_np(imgs2, plan2, 64)
+    sep2 = np.asarray(
+        compose_warp_separable(jnp.asarray(imgs2), plan2, 64, pad=16,
+                               tap_impl=tap_impl))
+    err2 = np.abs(sep2 - ref2)
+    assert np.quantile(err2, 0.99) < 16.0, np.quantile(err2, 0.99)
+
+
+def test_separable_eligibility_rejects_extreme_plans():
+    from event_representation_study_tpu.ops.warp import separable_eligible
+
+    hyp = dict(mosaic=1.0, mixup=0.0, degrees=45.0, translate=0.2, scale=0.5,
+               shear=10.0, fliplr=0.0, flipud=0.0)
+    _, plan = _sep_setup(hyp, seed=7)
+    assert not separable_eligible(plan, 64, pad=4)
+
+
+def test_separable_hyp_eligibility():
+    from event_representation_study_tpu.ops.warp import separable_hyp_eligible
+
+    recipe = dict(degrees=0.373, scale=0.898, shear=0.602)
+    assert separable_hyp_eligible(recipe, 640)  # the paper recipe fits
+    assert not separable_hyp_eligible(dict(degrees=30.0, scale=0.5), 640)
+    assert not separable_hyp_eligible(dict(scale=1.0), 640)  # singular zoom
+
+
 def test_compose_warp_matches_scipy_affine():
     """Single-tile affine warp == scipy.ndimage.affine_transform with the
     (x,y)->(row,col) axis conversion, bilinear, constant pad 114."""
@@ -206,6 +336,17 @@ def test_mosaic_batch_through_train_step(gen1_fixture):
     )
     state, parts = step(state, jax.device_put(batch), jnp.int32(0))
     assert np.isfinite(float(parts["loss"]))
+
+    # the separable executor runs the same batch end to end (seam/border
+    # semantics differ by design — materialized-reference vs routed-tile)
+    step_sep = make_train_step(
+        model, LossConfig(num_classes=2), tx,
+        representation="OptimizedRepresentation",
+        rep_hw=(ds.height, ds.width), img_size=64, donate=False,
+        warp_impl="separable",
+    )
+    _, parts_sep = step_sep(state, jax.device_put(batch), jnp.int32(0))
+    assert np.isfinite(float(parts_sep["loss"]))
 
 
 def test_dataset_wide_partner_pool(gen1_fixture):
