@@ -13,7 +13,7 @@ Output protocol (driver-capture-proof — round-2 lesson, BENCH_r02 rc=124):
 the FIRST line printed is the complete headline JSON, flushed immediately
 after the ERGO-12 measurement.  Every further metric (TORE, detector train
 steps, strong-aug step, eval decode+NMS) is emitted as its OWN JSON line,
-each gated by a PLANNING budget of 80% of the wall-clock deadline (env
+each gated by a PLANNING budget of 85% of the wall-clock deadline (env
 BENCH_DEADLINE_S, default 2400 s) with a per-section cost estimate: a
 section whose estimated cost does not fit prints a {"skipped": ...} line
 instead of starting, and a SIGALRM watchdog bounds each section at ~1.5x
@@ -41,7 +41,7 @@ _T0 = time.monotonic()
 _HARD_DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE_S", 2400))
 # Plan to 80% of the driver deadline (VERDICT r4 #2a: the r4 plan filled
 # 2385.6 of 2400 s — zero slack — and the overrun killed the capture).
-_DEADLINE = _T0 + 0.8 * float(os.environ.get("BENCH_DEADLINE_S", 2400))
+_DEADLINE = _T0 + 0.85 * float(os.environ.get("BENCH_DEADLINE_S", 2400))
 
 # --- kill-proof final artifact (VERDICT r4 #2c) ---------------------------
 # The merged headline+extras line is emitted from atexit AND from a SIGTERM
@@ -262,27 +262,33 @@ def main():
     sections = [
         # (name, static est. cost s, thunk) — static estimates from measured
         # cold full runs (v5e); _journal_estimates() overrides each with
-        # 1.3x the most recent ACTUAL cost on this machine when available
-        # (the persistent compile cache makes warm runs much cheaper).
+        # 1.15x the most recent ACTUAL cost on this machine when available.
+        # ORDER = information value per second: a tight deadline must drop
+        # the per-batch train section (redundant with the scanned A/B)
+        # before it drops the once-missing step_anatomy/classifier/
+        # evaler_e2e rows (VERDICT r4 #2).
         ("tore_throughput", 120, lambda: bench_tore(stacked, B, N)),
         ("gwd_otmi", 220, bench_gwd_section),
         ("gwd_cp_sweep", 240, bench_cp_sweep_section),
-        ("detector_train_steps", 550, bench_detector_steps),
-        ("detector_scanned_dispatch", 320, bench_scanned_dispatch_section),
+        ("classifier", 120, bench_classifier_section),
+        ("evaler_e2e", 150, bench_evaler_e2e_section),
+        ("detector_scanned_dispatch", 420, bench_scanned_dispatch_section),
+        ("step_anatomy", 320, bench_step_anatomy_section),
         ("detector_eval", 250, bench_eval_section),
         ("detector_aug_event_step", 260,
          lambda: bench_aug_step_section(aug_mode="event")),
         ("detector_aug_step", 260, bench_aug_step_section),
-        ("step_anatomy", 420, bench_step_anatomy_section),
-        ("classifier", 300, bench_classifier_section),
-        ("evaler_e2e", 300, bench_evaler_e2e_section),
+        ("detector_train_steps", 300, bench_detector_steps),
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:  # debug/retry aid: run just the named sections
         sections = [s for s in sections if s[0] in only]
     measured = _journal_estimates()
+    # 1.15x safety on warm-journal actuals (was 1.3x): the per-section
+    # SIGALRM watchdog now bounds underestimates at the section level, so
+    # the planner no longer needs fat margins that force end-of-run skips
     sections = [
-        (n, round(1.3 * measured[n]) if n in measured else e, t)
+        (n, round(1.15 * measured[n]) if n in measured else e, t)
         for n, e, t in sections
     ]
     emit({"section": "budget_plan",
@@ -528,10 +534,10 @@ def bench_detector_steps():
     cfg, B, S, imgs, batch = _detector_fixture()
 
     out = {}
-    for name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        if name == "f32" and _remaining() < 250:
-            out["detector_f32_skipped"] = True
-            break
+    # bf16 only: the f32 A/B moved to the scanned section (the jitter-free
+    # protocol, VERDICT r4 #6) — this section's job is the per-dispatch
+    # number + its jitter, not the dtype ratio.
+    for name, dtype in (("bf16", jnp.bfloat16),):
         model = build_model(cfg, num_classes=2, dtype=dtype)
         solver = _solver(B)
         tx = build_optimizer(
@@ -567,16 +573,9 @@ def bench_detector_steps():
         out[f"dispatch_jitter_pct_{name}"] = round(
             (max(reps) - min(reps)) / dt * 100, 1)
         del state, step
-    if out.get("detector_train_step_ms_bf16") and out.get(
-            "detector_train_step_ms_f32"):
-        out["bf16_speedup"] = round(
-            out["detector_train_step_ms_f32"]
-            / out["detector_train_step_ms_bf16"], 2,
-        )
-        out["bf16_speedup_protocol"] = (
-            "per-batch dispatch, median of 3 reps; the jitter-free A/B is "
-            "the scanned section (detector_scanned_step_ms_bf16)"
-        )
+    out["bf16_speedup_see"] = (
+        "scanned section bf16_speedup (jitter-free protocol)"
+    )
     return out
 
 
@@ -874,36 +873,51 @@ def bench_scanned_dispatch_section():
     ]
     stacked = jax.device_put(stack_batches(batches))
 
-    model = build_model(cfg, num_classes=2, dtype=jnp.bfloat16)
-    tx = build_optimizer(
-        jax.eval_shape(
-            functools.partial(model.init, train=True),
-            jax.random.PRNGKey(0), imgs,
-        )["params"],
-        _solver(B),
-    )
-    state = init_train_state(model, tx, jax.random.PRNGKey(0), imgs)
     ema_cadence = os.environ.get("BENCH_EMA_CADENCE", "step")
-    multi = make_multi_train_step(model, LossConfig(num_classes=2), tx, K,
-                                  ema_cadence=ema_cadence, img_size=S)
     epoch = jnp.int32(10)
-    state, parts = multi(state, stacked, epoch)  # compile + warm
-    float(parts["loss"][-1])
-    iters = max(2, int(os.environ.get("BENCH_DETECTOR_ITERS", 8)) // K)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, parts = multi(state, stacked, epoch)
-    loss = float(parts["loss"][-1])
-    dt = (time.perf_counter() - t0) / (iters * K)
-    assert np.isfinite(loss)
-    return {
-        "detector_scanned_step_ms_bf16": round(dt * 1e3, 2),
-        "detector_scanned_imgs_per_s_bf16": round(B / dt, 1),
+    out = {
         "scanned_k": K,
         "ema_cadence": ema_cadence,
         "optimizer": os.environ.get("BENCH_OPTIMIZER", "fused"),
         "momentum_dtype": os.environ.get("BENCH_MOMENTUM_DTYPE", "float32"),
     }
+    # The bf16/f32 A/B lives HERE (VERDICT r4 #6): the scanned protocol
+    # amortizes the per-dispatch tunnel jitter that once inverted the
+    # published ratio (r4: per-batch 0.88 vs the true 1.24x).
+    for name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        if name == "f32" and _remaining() < 200:
+            out["scanned_f32_skipped"] = True
+            break
+        model = build_model(cfg, num_classes=2, dtype=dtype)
+        tx = build_optimizer(
+            jax.eval_shape(
+                functools.partial(model.init, train=True),
+                jax.random.PRNGKey(0), imgs,
+            )["params"],
+            _solver(B),
+        )
+        state = init_train_state(model, tx, jax.random.PRNGKey(0), imgs)
+        multi = make_multi_train_step(model, LossConfig(num_classes=2), tx,
+                                      K, ema_cadence=ema_cadence, img_size=S)
+        state, parts = multi(state, stacked, epoch)  # compile + warm
+        float(parts["loss"][-1])
+        iters = max(2, int(os.environ.get("BENCH_DETECTOR_ITERS", 8)) // K)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, parts = multi(state, stacked, epoch)
+        loss = float(parts["loss"][-1])
+        dt = (time.perf_counter() - t0) / (iters * K)
+        assert np.isfinite(loss)
+        out[f"detector_scanned_step_ms_{name}"] = round(dt * 1e3, 2)
+        out[f"detector_scanned_imgs_per_s_{name}"] = round(B / dt, 1)
+        del state, multi
+    if out.get("detector_scanned_step_ms_f32"):
+        out["bf16_speedup"] = round(
+            out["detector_scanned_step_ms_f32"]
+            / out["detector_scanned_step_ms_bf16"], 2,
+        )
+        out["bf16_speedup_protocol"] = "scanned K-step dispatch (jitter-free)"
+    return out
 
 
 def bench_step_anatomy_section():
@@ -973,9 +987,10 @@ def bench_step_anatomy_section():
     out = {}
     out["anatomy_full_ms"] = round(
         run(build_optimizer(param_shapes, _solver(B)), True), 2)
-    if _remaining() > 200:
-        out["anatomy_no_ema_ms"] = round(
-            run(build_optimizer(param_shapes, _solver(B)), False), 2)
+    # two variants, not three: full - fwd_bwd = the whole update path
+    # (optimizer + EMA), which is the driver-visible floor answer; the
+    # EMA-only split (no_ema, 0.56 ms) lives in NOTES "Step anatomy
+    # MEASURED" and scripts/step_anatomy.py
     if _remaining() > 200:
         out["anatomy_fwd_bwd_ms"] = round(run(zero_tx(), False), 2)
     return out

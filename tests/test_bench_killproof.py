@@ -25,9 +25,13 @@ sys.path.insert(0, str(REPO))
 import bench  # noqa: E402
 
 
-def test_planning_deadline_is_80pct_of_hard():
+def test_planning_deadline_is_85pct_of_hard():
+    # 0.85: with the per-section SIGALRM watchdog bounding overruns, the
+    # planner only needs slack for ONE watchdog miss, not for cumulative
+    # estimate drift (r4 planned to 99% and died; r5 full-capture needs
+    # ~2000s of sections inside a 2400s deadline)
     assert bench._DEADLINE - bench._T0 == pytest.approx(
-        0.8 * (bench._HARD_DEADLINE - bench._T0)
+        0.85 * (bench._HARD_DEADLINE - bench._T0)
     )
 
 
