@@ -1,0 +1,90 @@
+"""Per-row dynamic-slice ("roll") as a Pallas DMA kernel.
+
+The separable warp (ops/warp.py compose_warp_separable) needs, per pass, a
+per-row integer shift: out[b, r] = x[b, r, s[b, r] : s[b, r] + w_out].
+Expressed as an XLA gather this moves only ~8-9 GB/s of output bytes on
+v5e (measured, scripts/warp_sep_bench.py — the gather engine's throughput
+is shape-independent: the same ~8 GB/s shows up for 192 B patch rows and
+for 30 KB contiguous row slices). The operation is pure data movement, so
+a Pallas kernel that streams row blocks through VMEM and applies the shift
+as an in-VMEM dynamic slice runs at DMA bandwidth instead.
+
+Layout: (B, R, W, C) with the shifted axis second-minor — Mosaic lowers
+dynamic slices on the sublane axis cheaply, and C stays on lanes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roll_kernel(starts_ref, x_ref, o_ref, *, rb, w_out):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    for r in range(rb):
+        s = starts_ref[b, i * rb + r]
+        o_ref[0, r] = x_ref[0, r, pl.ds(s, w_out), :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w_out", "rb", "interpret")
+)
+def roll_rows(
+    x: jnp.ndarray,       # (B, R, W_in, C)
+    starts: jnp.ndarray,  # (B, R) int32, 0 <= start <= W_in - w_out
+    w_out: int,
+    rb: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[b, r, :, :] = x[b, r, starts[b, r] : starts[b, r] + w_out, :].
+
+    Starts are clamped into range (matching lax.gather's CLIP mode, which
+    the XLA fallback in compose_warp_separable relies on)."""
+    B, R, W_in, C = x.shape
+    assert w_out <= W_in
+    if R % rb:  # pad the row axis up to the block size
+        pad_r = rb - R % rb
+        x = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+        starts = jnp.pad(starts, ((0, 0), (0, pad_r)))
+        out = roll_rows(x, starts, w_out, rb=rb, interpret=interpret)
+        return out[:, :R]
+    starts = jnp.clip(starts.astype(jnp.int32), 0, W_in - w_out)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, R // rb),
+        in_specs=[
+            pl.BlockSpec((1, rb, W_in, C), lambda b, i, starts: (b, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rb, w_out, C), lambda b, i, starts: (b, i, 0, 0)
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_roll_kernel, rb=rb, w_out=w_out),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, R, w_out, C), x.dtype),
+        interpret=interpret,
+    )(starts, x)
+
+
+def roll_rows_xla(x, starts, w_out):
+    """The XLA-gather twin (correctness oracle + non-TPU fallback)."""
+    from jax import lax
+
+    B, R, W_in, C = x.shape
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+    )
+
+    def one(x1, s1):
+        st = jnp.stack(
+            [jnp.arange(R, dtype=jnp.int32), s1.astype(jnp.int32)], axis=-1
+        )
+        return lax.gather(x1, st, dn, slice_sizes=(1, w_out, C),
+                          mode=lax.GatherScatterMode.CLIP)
+
+    return jax.vmap(one)(x, starts)

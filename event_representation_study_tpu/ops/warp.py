@@ -317,12 +317,11 @@ def compose_warp_separable(
     gather_dtype: Optional[jnp.dtype] = None,
     pad: int = WARP_SEP_PAD,
     tap_impl: str = "take",
+    roll_impl: str = "auto",  # "pallas" (TPU DMA kernel) | "xla" | "auto"
 ) -> jnp.ndarray:
     """Separable two-pass executor of the same AugPlan as compose_warp.
     Caller must have checked :func:`separable_eligible` on the plan (the
     rolls silently clip otherwise). Returns (B, out_size, out_size, C)."""
-    from jax import lax
-
     S = out_size
     W = 2 * S
     B = plan.src_idx.shape[0]
@@ -346,84 +345,91 @@ def compose_warp_separable(
     lo_y = jnp.maximum(0.0, -dxy[:, 1])
     hi_y = jnp.minimum(ext, ext - dxy[:, 1])
 
-    dn = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(0,), start_index_map=(0, 1)
-    )
     ys = jnp.arange(S, dtype=jnp.float32)
     xs = ys
     vs = jnp.arange(W, dtype=jnp.float32)
     padv = jnp.float32(pad_value)
 
-    def one(tiles, a1, b1, c1, p1, q1, r1, lox, hix, loy, hiy):
-        # fixed 2x2 quadrant grid (pure concat — no dynamic compose)
+    if roll_impl == "auto":
+        roll_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if roll_impl == "pallas":
+        from .pallas_roll import roll_rows as _roll
+    else:
+        from .pallas_roll import roll_rows_xla as _roll
+
+    def build_fixedT(tiles):
+        # fixed 2x2 quadrant grid (pure concat — no dynamic compose),
+        # column-major for pass V
         fixed = jnp.concatenate(
             [jnp.concatenate([tiles[0], tiles[1]], axis=1),
              jnp.concatenate([tiles[2], tiles[3]], axis=1)], axis=0,
         )  # (W, W, C)
-
-        # ---- pass V: resolve rows, column-major layout
-        wbase = q1 * ys + r1                     # (S,)
-        j1 = jnp.floor(wbase)
-        g1 = wbase - j1                          # [0,1)
-        pv = p1 * vs                             # (W,)
-        R1 = jnp.round(pv)
-        d1 = pv - R1                             # [-0.5, 0.5]
         fixedT = jnp.transpose(fixed, (1, 0, 2))         # (v, w, C)
-        fixedT = jnp.pad(fixedT, ((0, 0), (pad + 2, pad + 2), (0, 0)))
-        starts = jnp.stack(
-            [jnp.arange(W, dtype=jnp.int32),
-             R1.astype(jnp.int32) + pad + 1], axis=-1,
-        )
-        rolled = lax.gather(fixedT, starts, dn, slice_sizes=(1, W + 3, C),
-                            mode=lax.GatherScatterMode.CLIP)  # (v, W+3, C)
+        return jnp.pad(fixedT, ((0, 0), (pad + 2, pad + 2), (0, 0)))
+
+    tiles = src[plan.src_idx.astype(jnp.int32)]   # (B, 4, S, S, C)
+    fixedT = jax.vmap(build_fixedT)(tiles)        # (B, W, W+2pad+4, C)
+
+    # ---- pass V: resolve rows. The per-row integer roll is the batched
+    # DMA kernel (ops/pallas_roll.py) — as an XLA gather it runs at the
+    # gather engine's ~8 GB/s instead of DMA bandwidth.
+    pv = p[:, None] * vs[None, :]                 # (B, v)
+    R1 = jnp.round(pv)
+    d1 = pv - R1                                  # [-0.5, 0.5]
+    rolled1 = _roll(fixedT, R1.astype(jnp.int32) + pad + 1, W + 3)
+
+    def pass_v(rolled, q1, r1, d1r, R1r, loy, hiy):
+        wbase = q1 * ys + r1                      # (S,)
+        j1 = jnp.floor(wbase)
+        g1 = wbase - j1                           # [0,1)
         j1i = j1.astype(jnp.int32)
         acc = jnp.zeros((W, S, C), jnp.float32)
         for k in range(-1, 3):
-            idx = jnp.clip(j1i + (k + 1), 0, W + 2)          # (S,)
+            idx = jnp.clip(j1i + (k + 1), 0, W + 2)           # (S,)
             tap = _tap_select(rolled, idx, tap_impl)          # (v, y, C)
-            wgt = _hat(g1[None, :] + d1[:, None] - k)         # (v, y)
-            row_abs = j1[None, :] + k + R1[:, None]
+            wgt = _hat(g1[None, :] + d1r[:, None] - k)        # (v, y)
+            row_abs = j1[None, :] + k + R1r[:, None]
             # the |R|<=pad-1 term degrades roll overflow (ineligible plans
             # that slipped through) to pad instead of silently wrong pixels
             valid = (
                 (row_abs >= loy) & (row_abs < hiy)
-                & (jnp.abs(R1)[:, None] <= pad - 1)
+                & (jnp.abs(R1r)[:, None] <= pad - 1)
             )
             acc = acc + wgt[..., None] * jnp.where(
                 valid[..., None], tap.astype(jnp.float32), padv)
-        out1 = jnp.transpose(acc, (1, 0, 2))                  # (y, v, C)
+        return jnp.transpose(acc, (1, 0, 2))                  # (y, v, C)
 
-        # ---- pass H: resolve columns, row-major layout
-        xbase = a1 * xs + c1                     # (S,)
+    out1 = jax.vmap(pass_v)(rolled1, q, r0, d1, R1, lo_y, hi_y)
+    if gather_dtype is not None:  # keep the pass-H roll at wire width
+        out1 = out1.astype(gather_dtype)
+
+    # ---- pass H: resolve columns, row-major layout
+    by = b[:, None] * ys[None, :]                 # (B, y)
+    R2 = jnp.round(by)
+    d2 = by - R2
+    out1p = jnp.pad(out1, ((0, 0), (0, 0), (pad + 2, pad + 2), (0, 0)))
+    rolled2 = _roll(out1p, R2.astype(jnp.int32) + pad + 1, W + 3)
+
+    def pass_h(rolled, a1, c1, d2r, R2r, lox, hix):
+        xbase = a1 * xs + c1                      # (S,)
         j2 = jnp.floor(xbase)
         g2 = xbase - j2
-        by = b1 * ys                             # (S,)
-        R2 = jnp.round(by)
-        d2 = by - R2
-        out1p = jnp.pad(out1, ((0, 0), (pad + 2, pad + 2), (0, 0)))
-        starts2 = jnp.stack(
-            [jnp.arange(S, dtype=jnp.int32),
-             R2.astype(jnp.int32) + pad + 1], axis=-1,
-        )
-        rolled2 = lax.gather(out1p, starts2, dn, slice_sizes=(1, W + 3, C),
-                             mode=lax.GatherScatterMode.CLIP)  # (y, W+3, C)
         j2i = j2.astype(jnp.int32)
         acc2 = jnp.zeros((S, S, C), jnp.float32)
         for k in range(-1, 3):
             idx2 = jnp.clip(j2i + (k + 1), 0, W + 2)
-            tap2 = _tap_select(rolled2, idx2, tap_impl)       # (y, x, C)
-            wgt2 = _hat(g2[None, :] + d2[:, None] - k)        # (y, x)
-            col_abs = j2[None, :] + k + R2[:, None]
+            tap2 = _tap_select(rolled, idx2, tap_impl)        # (y, x, C)
+            wgt2 = _hat(g2[None, :] + d2r[:, None] - k)       # (y, x)
+            col_abs = j2[None, :] + k + R2r[:, None]
             valid2 = (
                 (col_abs >= lox) & (col_abs < hix)
-                & (jnp.abs(R2)[:, None] <= pad - 1)
+                & (jnp.abs(R2r)[:, None] <= pad - 1)
             )
             acc2 = acc2 + wgt2[..., None] * jnp.where(
                 valid2[..., None], tap2.astype(jnp.float32), padv)
         return acc2
 
-    tiles = src[plan.src_idx.astype(jnp.int32)]   # (B, 4, S, S, C)
-    out = jax.vmap(one)(tiles, a, b, c, p, q, r0, lo_x, hi_x, lo_y, hi_y)
+    out = jax.vmap(pass_h)(rolled2, a, c, d2, R2, lo_x, hi_x)
 
     r = plan.mix_r[:, None, None, None]
     return (r * out + (1.0 - r) * out[plan.mix_idx]).astype(images.dtype)

@@ -62,6 +62,26 @@ def main():
     bf16 = jax.jit(lambda im: compose_warp(im, plan, S))
     print(f"bf16 compose_warp: {timeit(bf16, x16):8.2f} ms", flush=True)
 
+    from event_representation_study_tpu.ops.warp import (
+        compose_warp_separable,
+        separable_eligible,
+    )
+
+    assert separable_eligible(plan, S)
+    ref = None
+    for tap in ("take", "mm"):
+        for roll in ("xla", "pallas"):
+            fn = jax.jit(lambda im, _t=tap, _r=roll: compose_warp_separable(
+                im, plan, S, gather_dtype=jnp.bfloat16, tap_impl=_t,
+                roll_impl=_r))
+            ms = timeit(fn, x32)
+            out = np.asarray(fn(x32))
+            if ref is None:
+                ref = out
+            dmax = float(np.max(np.abs(out - ref)))
+            print(f"sep  tap={tap:4s} roll={roll:6s}: {ms:8.2f} ms "
+                  f"(max|diff vs first|={dmax:.3f})", flush=True)
+
 
 if __name__ == "__main__":
     main()
