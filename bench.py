@@ -72,6 +72,18 @@ class SectionTimeout(Exception):
     """Raised by the per-section SIGALRM watchdog (VERDICT r4 #2b)."""
 
 
+# Incremental results for the CURRENT section: a multi-variant section
+# records each finished measurement here so a watchdog timeout publishes
+# what it already measured instead of losing the whole section (r5: the
+# step_anatomy timeout threw away a fully-measured anatomy_full_ms).
+_SECTION_PARTIAL = {}
+
+
+def record_partial(key, value):
+    _SECTION_PARTIAL[key] = value
+    return value
+
+
 def _sigalrm(signum, frame):
     raise SectionTimeout()
 
@@ -136,10 +148,23 @@ def _journal_estimates(path=None):
                 if row.get("section") == "budget_plan":
                     prev_elapsed = float(row.get("headline_elapsed_s", 0.0))
                     continue
-                if row.get("skipped") or "error" in row:
+                if row.get("skipped"):
                     continue
                 el = row.get("elapsed_s")
                 if el is None:
+                    continue
+                if "error" in row:
+                    # a timed-out/failed section still consumed wall time:
+                    # advance the origin (else the NEXT section's delta
+                    # absorbs this section's dead time — r5 journal had
+                    # classifier at 771 s because step_anatomy's 596 s
+                    # timeout left prev_elapsed stale) and record the spend
+                    # as a lower-bound estimate so the planner budgets for
+                    # the real cost instead of timing out again.
+                    deltas[row["section"]] = max(
+                        float(el) - prev_elapsed, 1.0,
+                        deltas.get(row["section"], 0.0))
+                    prev_elapsed = float(el)
                     continue
                 deltas[row["section"]] = max(float(el) - prev_elapsed, 1.0)
                 prev_elapsed = float(el)
@@ -273,7 +298,7 @@ def main():
         ("classifier", 120, bench_classifier_section),
         ("evaler_e2e", 150, bench_evaler_e2e_section),
         ("detector_scanned_dispatch", 420, bench_scanned_dispatch_section),
-        ("step_anatomy", 320, bench_step_anatomy_section),
+        ("step_anatomy", 650, bench_step_anatomy_section),
         ("detector_eval", 250, bench_eval_section),
         ("detector_aug_event_step", 260,
          lambda: bench_aug_step_section(aug_mode="event")),
@@ -316,6 +341,7 @@ def main():
         watchdog = max(1.5 * est, est + 240.0)
         watchdog = max(1.0, min(watchdog, _remaining_hard() - 60.0))
         signal.setitimer(signal.ITIMER_REAL, watchdog)
+        _SECTION_PARTIAL.clear()
         try:
             res = thunk()
             res["section"] = name
@@ -324,13 +350,23 @@ def main():
             extras.update({k: v for k, v in res.items()
                            if k not in ("section", "elapsed_s")})
         except SectionTimeout:
-            emit({"section": name, "error": "timeout",
-                  "watchdog_s": round(watchdog)})
+            # publish whatever the section recorded before the watchdog
+            # fired, and stamp elapsed_s so the journal's cumulative origin
+            # stays correct for the NEXT section's estimate.
+            row = dict(_SECTION_PARTIAL)
+            row.update({"section": name, "error": "timeout",
+                        "watchdog_s": round(watchdog),
+                        "partial": bool(_SECTION_PARTIAL),
+                        "elapsed_s": round(time.monotonic() - _T0, 1)})
+            emit(row)
+            extras.update(_SECTION_PARTIAL)
         except Exception as e:  # never break remaining sections
             emit({"section": name,
-                  "error": f"{type(e).__name__}: {e}"[:300]})
+                  "error": f"{type(e).__name__}: {e}"[:300],
+                  "elapsed_s": round(time.monotonic() - _T0, 1)})
         finally:
             signal.setitimer(signal.ITIMER_REAL, 0.0)
+            _SECTION_PARTIAL.clear()
 
     # LAST LINE — headline again, merged with whatever sections landed
     # (also wired to atexit/SIGTERM so a killed run still finalizes).
@@ -985,14 +1021,19 @@ def bench_step_anatomy_section():
         return (time.perf_counter() - t0) / (iters * K) * 1e3
 
     out = {}
-    out["anatomy_full_ms"] = round(
-        run(build_optimizer(param_shapes, _solver(B)), True), 2)
+    out["anatomy_full_ms"] = record_partial("anatomy_full_ms", round(
+        run(build_optimizer(param_shapes, _solver(B)), True), 2))
     # two variants, not three: full - fwd_bwd = the whole update path
     # (optimizer + EMA), which is the driver-visible floor answer; the
     # EMA-only split (no_ema, 0.56 ms) lives in NOTES "Step anatomy
-    # MEASURED" and scripts/step_anatomy.py
-    if _remaining() > 200:
-        out["anatomy_fwd_bwd_ms"] = round(run(zero_tx(), False), 2)
+    # MEASURED" and scripts/step_anatomy.py.
+    # Gate at 330 s: the zero-tx variant is a FRESH program — after any
+    # code change the persistent cache misses and its compile alone costs
+    # ~300 s (r5 journal: the 200 s gate passed, then the compile overran
+    # the watchdog and lost the whole section before partial publishing).
+    if _remaining() > 330:
+        out["anatomy_fwd_bwd_ms"] = record_partial(
+            "anatomy_fwd_bwd_ms", round(run(zero_tx(), False), 2))
     return out
 
 

@@ -35,9 +35,12 @@ def test_journal_deltas_within_one_run(tmp_path):
 
 def test_journal_resets_between_runs(tmp_path):
     """A new run's first section must not subtract the previous run's
-    cumulative total (which would clamp to a bogus 1.0 s estimate), and
-    skipped/error rows must neither produce estimates nor shift the
-    cumulative origin for the sections after them."""
+    cumulative total (which would clamp to a bogus 1.0 s estimate).
+    Skipped rows and old-format error rows (no elapsed_s) neither produce
+    estimates nor shift the origin; a NEW-format error row (elapsed_s
+    stamped) must do BOTH — it consumed real wall time, and r5's journal
+    showed the next section absorbing a 596 s timeout into its own
+    estimate when the origin stayed stale."""
     j = tmp_path / "BENCH_SECTIONS.jsonl"
     _write(j, [
         {"metric": "headline", "value": 1},
@@ -47,13 +50,39 @@ def test_journal_resets_between_runs(tmp_path):
         {"metric": "headline", "value": 2},
         {"section": "a", "elapsed_s": 120.0},
         {"section": "skipme", "skipped": True},
-        {"section": "err", "error": "X", "elapsed_s": 500.0},
-        {"section": "b", "elapsed_s": 200.0},
+        {"section": "oldfmt_err", "error": "X"},
+        {"section": "err", "error": "timeout", "elapsed_s": 500.0},
+        {"section": "b", "elapsed_s": 700.0},
     ])
     est = bench._journal_estimates(str(j))
     assert est["a"] == 120.0
-    assert est["b"] == 80.0
-    assert "skipme" not in est and "err" not in est
+    # err consumed 500-120 s and b's delta is measured from err's end,
+    # not from a's
+    assert est["err"] == 380.0
+    assert est["b"] == 200.0
+    assert "skipme" not in est and "oldfmt_err" not in est
+
+
+def test_journal_error_estimate_is_lower_bound(tmp_path):
+    """A later successful run overwrites a timeout-derived estimate, but a
+    timeout AFTER a success keeps the larger (conservative) number."""
+    j = tmp_path / "BENCH_SECTIONS.jsonl"
+    _write(j, [
+        {"metric": "headline", "value": 1},
+        {"section": "s", "elapsed_s": 600.0},  # timed-out cost 600 …
+        {"metric": "headline", "value": 1, "total_elapsed_s": 600.0},
+        {"metric": "headline", "value": 2},
+        {"section": "s", "elapsed_s": 300.0},  # … later succeeds in 300
+    ])
+    assert bench._journal_estimates(str(j))["s"] == 300.0
+    _write(j, [
+        {"metric": "headline", "value": 1},
+        {"section": "s", "elapsed_s": 300.0},
+        {"metric": "headline", "value": 1, "total_elapsed_s": 300.0},
+        {"metric": "headline", "value": 2},
+        {"section": "s", "error": "timeout", "elapsed_s": 600.0},
+    ])
+    assert bench._journal_estimates(str(j))["s"] == 600.0
 
 
 def test_journal_missing_file_falls_back_empty(tmp_path):
