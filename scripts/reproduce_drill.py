@@ -38,7 +38,12 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 PY = [sys.executable, "-m"]
 
 
-def run(cmd, cwd=REPO, timeout=3600):
+STAGE_TIMEOUT = 3600  # full scale raises this: run-1 stage-1 hit 3412 s
+# unloaded, and the 1-core host can be contended by a concurrent suite run
+
+
+def run(cmd, cwd=REPO, timeout=None):
+    timeout = timeout or STAGE_TIMEOUT
     print(f"\n=== $ {' '.join(map(str, cmd))}", flush=True)
     t0 = time.time()
     r = subprocess.run([str(c) for c in cmd], cwd=cwd, timeout=timeout,
@@ -122,6 +127,9 @@ def main():
     gen1, gen4_npz = build_data(root, args.scale)
 
     full = args.scale == "full"
+    if full:
+        global STAGE_TIMEOUT
+        STAGE_TIMEOUT = 7200
     bs = args.batch_size or (8 if full else 4)
     img = args.img_size or (640 if full else 128)
     num_ev = 50000 if full else 8192
