@@ -22,12 +22,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _roll_kernel(starts_ref, x_ref, o_ref, *, rb, w_out):
+def _roll_kernel(starts_ref, x_ref, o_ref, *, rb, w_out, w_in):
     b = pl.program_id(0)
     i = pl.program_id(1)
     for r in range(rb):
         s = starts_ref[b, i * rb + r]
-        o_ref[0, r] = x_ref[0, r, pl.ds(s, w_out), :]
+        # A dynamic-START slice on the sublane axis is not lowerable (Mosaic
+        # requires provably 8-aligned starts for the vector load); a dynamic
+        # ROTATE is (tpu.dynamic_rotate), and with 0 <= s <= w_in - w_out the
+        # first w_out sublanes of roll(row, -s) are exactly row[s : s+w_out].
+        row = x_ref[0, r]  # (W_in, C)
+        rolled = pltpu.roll(row, w_in - s, 0)  # rolled[j] = row[(j+s) % W_in]
+        o_ref[0, r] = rolled[:w_out, :]
 
 
 @functools.partial(
@@ -64,7 +70,7 @@ def roll_rows(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_roll_kernel, rb=rb, w_out=w_out),
+        functools.partial(_roll_kernel, rb=rb, w_out=w_out, w_in=W_in),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, R, w_out, C), x.dtype),
         interpret=interpret,

@@ -106,6 +106,11 @@ def main():
                     help="work dir (default: a fresh temp dir)")
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--img-size", type=int, default=None)
+    ap.add_argument("--start-stage", type=int, default=1,
+                    help="resume an interrupted drill: skip stages below "
+                         "this number (requires --root pointing at the "
+                         "interrupted run's work dir; stage outputs there "
+                         "are reused, e.g. the stage-1 checkpoint)")
     ap.add_argument("--platform", choices=("cpu", "axon", "tpu"),
                     default=None,
                     help="pin this drill AND its subprocess commands to a "
@@ -123,8 +128,15 @@ def main():
 
     root = pathlib.Path(args.root or tempfile.mkdtemp(prefix="repro_drill_"))
     root.mkdir(parents=True, exist_ok=True)
-    print(f"drill root: {root} (scale={args.scale})")
-    gen1, gen4_npz = build_data(root, args.scale)
+    print(f"drill root: {root} (scale={args.scale}, "
+          f"start_stage={args.start_stage})")
+    if args.start_stage > 1:
+        gen1, gen4_npz = root / "gen1", root / "gen4_npz"
+        assert (gen1 / "training.h5").exists(), (
+            "--start-stage needs the interrupted run's --root (data found "
+            "neither built nor reusable)")
+    else:
+        gen1, gen4_npz = build_data(root, args.scale)
 
     full = args.scale == "full"
     if full:
@@ -140,46 +152,51 @@ def main():
     ]
 
     # 1. Route B stage-1 training command (epochs shortened for the drill)
-    run(PY + ["event_representation_study_tpu.cli.train",
-              "--conf", conf, "--data-path", gen1,
-              "--batch-size", bs, "--epochs", 2, "--img-size", img,
-              "--num-events", num_ev, "--eval-interval", 1,
-              "--output-dir", runs / "stage1"] + overrides)
+    if args.start_stage <= 1:
+        run(PY + ["event_representation_study_tpu.cli.train",
+                  "--conf", conf, "--data-path", gen1,
+                  "--batch-size", bs, "--epochs", 2, "--img-size", img,
+                  "--num-events", num_ev, "--eval-interval", 1,
+                  "--output-dir", runs / "stage1"] + overrides)
     best = runs / "stage1" / "best_ckpt"
     last = runs / "stage1" / "last_ckpt"
     ckpt = best if best.exists() else last
     assert ckpt.exists(), "training produced no checkpoint"
 
     # 2. the runbook's final command: --testing eval from the checkpoint
-    out = run(PY + ["event_representation_study_tpu.cli.train",
-                    "--conf", conf, "--data-path", gen1, "--testing",
-                    "--batch-size", bs, "--img-size", img,
-                    "--num-events", num_ev,
-                    "--checkpoint", ckpt,
-                    "--output-dir", runs / "test"] + overrides)
-    m = re.search(r"'AP':\s*([0-9.eE+-]+)", out)
-    assert m and np.isfinite(float(m.group(1))), (
-        "--testing eval printed no finite AP metric")
+    if args.start_stage <= 2:
+        out = run(PY + ["event_representation_study_tpu.cli.train",
+                        "--conf", conf, "--data-path", gen1, "--testing",
+                        "--batch-size", bs, "--img-size", img,
+                        "--num-events", num_ev,
+                        "--checkpoint", ckpt,
+                        "--output-dir", runs / "test"] + overrides)
+        m = re.search(r"'AP':\s*([0-9.eE+-]+)", out)
+        assert m and np.isfinite(float(m.group(1))), (
+            "--testing eval printed no finite AP metric")
 
     # 3. GWD C_p (runbook section 2) — real chosen validation indices
-    gwd_cmd = PY + ["event_representation_study_tpu.cli.gwd",
-                    "--data-path", gen1,
-                    "--event_representation_name", "OptimizedRepresentation",
-                    "--num-events", num_ev]
-    if full:
-        gwd_cmd += ["--batched"]
-    else:
-        gwd_cmd += ["--limit", "2"]
-    out = run(gwd_cmd)
-    m = re.search(r"mean C_p over \d+ samples: ([0-9.e+-]+|nan)", out)
-    assert m and m.group(1) != "nan", "gwd produced no finite mean C_p"
+    if args.start_stage <= 3:
+        gwd_cmd = PY + ["event_representation_study_tpu.cli.gwd",
+                        "--data-path", gen1,
+                        "--event_representation_name",
+                        "OptimizedRepresentation",
+                        "--num-events", num_ev]
+        if full:
+            gwd_cmd += ["--batched"]
+        else:
+            gwd_cmd += ["--limit", "2"]
+        out = run(gwd_cmd)
+        m = re.search(r"mean C_p over \d+ samples: ([0-9.e+-]+|nan)", out)
+        assert m and m.group(1) != "nan", "gwd produced no finite mean C_p"
 
     # 4. Gen4 consolidation from the release npz directory
     gen4_h5 = root / "gen4" / "training.h5"
-    gen4_h5.parent.mkdir(parents=True, exist_ok=True)
-    run(PY + ["event_representation_study_tpu.cli.consolidate",
-              gen4_npz, "--output", gen4_h5])
-    assert gen4_h5.exists() and gen4_h5.stat().st_size > 0
+    if args.start_stage <= 4:
+        gen4_h5.parent.mkdir(parents=True, exist_ok=True)
+        run(PY + ["event_representation_study_tpu.cli.consolidate",
+                  gen4_npz, "--output", gen4_h5])
+        assert gen4_h5.exists() and gen4_h5.stat().st_size > 0
 
     # 5. representation export
     run(PY + ["event_representation_study_tpu.cli.precompute_reps",
