@@ -290,6 +290,7 @@ def gen1_fixture(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_mosaic_batch_through_train_step(gen1_fixture):
     """VERDICT r1 gate (a): a mosaic+mixup+affine batch flows through the
     fused train step end to end."""
@@ -349,6 +350,7 @@ def test_mosaic_batch_through_train_step(gen1_fixture):
     assert np.isfinite(float(parts_sep["loss"]))
 
 
+@pytest.mark.slow
 def test_dataset_wide_partner_pool(gen1_fixture):
     """partner_pool appends dataset-wide mosaic/mixup partners (the
     reference's random-dataset-index draws, datasets.py get_mosaic): the
@@ -413,6 +415,7 @@ def test_dataset_wide_partner_pool(gen1_fixture):
     assert np.isfinite(float(parts["loss"]))
 
 
+@pytest.mark.slow
 def test_stop_aug_semantics(gen1_fixture):
     """The trainer zeroes mosaic/mixup at epochs - stop_aug_last_n_epoch
     (engine.py:475-480) while keeping affine/flips."""

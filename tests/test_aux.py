@@ -109,6 +109,7 @@ def test_gwd_correlation_figure(tmp_path):
     assert (tmp_path / "fig.png").exists()
 
 
+@pytest.mark.slow
 def test_get_model_info():
     """The reference's thop "Model Summary" analog (torch_utils.py:97-112):
     params in M + GFLOPs from a 64x64 probe scaled to img_size."""

@@ -91,6 +91,7 @@ def gen1_fixture(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_eval_cli_val_speed_and_pr(gen1_fixture):
     """The standalone eval CLI: val with PR metrics fills all speed slots
     including pre_ms (VERDICT r1 weak #7); the speed task skips metrics."""
@@ -132,6 +133,7 @@ def test_observability_writers(tmp_path):
     assert lines[1]["step"] == 20
 
 
+@pytest.mark.slow
 def test_eval_cli_saves_coco_predictions(gen1_fixture, tmp_path):
     from event_representation_study_tpu.cli.eval import main
 

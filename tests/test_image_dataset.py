@@ -100,6 +100,7 @@ def test_val_loader_letterbox_labels(image_root):
             assert crop.mean() > 0.5  # red channel, 220/255
 
 
+@pytest.mark.slow
 def test_strong_aug_batch_through_train_step(image_root):
     """Mosaic/mixup/affine planned on host, composed on device from the
     0-255 image tiles inside the fused train step (the datasets.py:96-177

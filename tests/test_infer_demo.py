@@ -61,6 +61,7 @@ def test_load_data_images_videos_dirs(tmp_path):
     assert len(allf) == 4
 
 
+@pytest.mark.slow
 def test_infer_cli_on_image(tmp_path):
     from event_representation_study_tpu.cli.infer import main
 
@@ -82,6 +83,7 @@ def test_infer_cli_on_image(tmp_path):
     assert len(written) == 1
 
 
+@pytest.mark.slow
 def test_infer_cli_on_video_max_frames(tmp_path):
     from event_representation_study_tpu.cli.infer import main
 

@@ -280,6 +280,7 @@ def test_repopt_masks_and_reinit_equivalence():
     np.testing.assert_allclose(np.asarray(upd["b"]["kernel"]), -1.0)
 
 
+@pytest.mark.slow
 def test_build_model_new_registry():
     """Every new config builds and runs an eval forward at reduced scale."""
     from event_representation_study_tpu.models import build_model

@@ -114,6 +114,7 @@ def test_bf16_forward_parity(cfg, small_model):
     assert np.abs(out16[..., :4] - out32[..., :4]).max() < 2.0
 
 
+@pytest.mark.slow
 def test_bf16_train_step_finite(cfg):
     """One bf16 train step: finite loss, f32 params stay f32."""
     import functools
@@ -152,6 +153,7 @@ def test_bf16_train_step_finite(cfg):
     assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_remat_equivalence(cfg):
     """Rematerialized CSP stages produce identical outputs and gradients
     (memory/FLOPs trade only)."""

@@ -83,6 +83,7 @@ def test_gen1_dataset_and_loader(gen1_fixture):
     assert float(batch.gt_bboxes.max()) <= 128.0
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(gen1_fixture):
     """Two tiny epochs + eval on the CPU mesh: loss finite, COCO stats come
     back, checkpoints written."""

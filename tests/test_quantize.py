@@ -38,6 +38,7 @@ def test_quantize_round_trip_and_error_bound():
     np.testing.assert_array_equal(fq["conv"]["kernel"], w)  # skipped
 
 
+@pytest.mark.slow
 def test_fake_quant_detector_accuracy():
     """int8 weights perturb the tiny detector's decoded outputs only
     slightly — the PTQ-then-eval sanity the reference runs."""

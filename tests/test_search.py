@@ -29,6 +29,7 @@ def test_recommend_contract_and_random_fallback():
             assert r[p.name] in p.options
 
 
+@pytest.mark.slow
 def test_constraints_respected():
     space = _space((4, 4))
     banned = lambda d: d["p0"] != "o0"
@@ -42,6 +43,7 @@ def test_constraints_respected():
             obs.append(dict(r, obj=cat_dejong(idx, (4, 4))))
 
 
+@pytest.mark.slow
 def test_bo_beats_random_on_dejong():
     """Short BO loop (gryffin-test style, BUDGET-level smoke): the best BO
     observation after 14 evals should reach the low-objective region."""
@@ -97,6 +99,7 @@ def test_native_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(x_inv), n_inv, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sequential_channel_driver():
     """2-channel toy search over a synthetic separable objective with a
     known optimum triple."""
@@ -150,6 +153,7 @@ def test_constraint_table_matches_reference():
         ), (f, a)
 
 
+@pytest.mark.slow
 def test_driver_never_scores_excluded_and_persists_history(tmp_path):
     """The search driver only ever evaluates table-allowed combinations, and
     the full history lands in the database (gryffin database_handler

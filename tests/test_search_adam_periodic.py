@@ -90,6 +90,7 @@ def test_adam_refinement_finds_continuous_optimum():
     assert abs(recs[0]["x"] - 0.37) < 0.05, recs
 
 
+@pytest.mark.slow
 def test_adam_matches_or_beats_genetic_on_mixed_benchmark():
     """Short mixed-space BO (categorical x continuous camel-style surface):
     Adam's best-found objective after the same budget is at least as good as

@@ -55,6 +55,7 @@ def test_refine_descriptors_increases_correlation():
     assert np.mean(col_corr(D2)) >= np.mean(col_corr(D)) - 1e-3
 
 
+@pytest.mark.slow
 def test_mixed_bo_converges_on_continuous_objective():
     from event_representation_study_tpu.search.mixed import (
         CategoricalParamD,

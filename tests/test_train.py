@@ -185,6 +185,7 @@ def test_ema_update_k_collapses_constant_params():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_step_ema_cadence_dispatch():
     """make_multi_train_step(ema_cadence='dispatch'): params/opt-state follow
     the per-step path EXACTLY (the EMA never feeds back into training) and
@@ -262,6 +263,7 @@ def test_multi_step_ema_cadence_dispatch():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_train_step_on_mesh():
     """One fused events->rep->loss->update step, batch sharded over 8 CPU
     devices; params must change and loss be finite."""
@@ -327,6 +329,7 @@ def test_train_step_on_mesh():
         assert int(state.ema.updates) == 1
 
 
+@pytest.mark.slow
 def test_train_step_dp_x_tp():
     """dp x tp over a 2-D (data x model) mesh: parameters (and the optax
     trace + EMA mirroring them) sharded output-channel over "model", batch

@@ -42,6 +42,7 @@ def test_viz_figures(tmp_path):
         assert (tmp_path / f).stat().st_size > 1000, f
 
 
+@pytest.mark.slow
 def test_trainer_plotting_path(tmp_path):
     from event_representation_study_tpu.data.gen1 import write_gen1_fixture
     from event_representation_study_tpu.train.engine import Trainer
