@@ -23,10 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _roll_kernel(starts_ref, x_ref, o_ref, *, rb, w_out, w_in):
-    b = pl.program_id(0)
     i = pl.program_id(1)
     for r in range(rb):
-        s = starts_ref[b, i * rb + r]
+        s = starts_ref[0, i, r, 0]
         # A dynamic-START slice on the sublane axis is not lowerable (Mosaic
         # requires provably 8-aligned starts for the vector load); a dynamic
         # ROTATE is (tpu.dynamic_rotate), and with 0 <= s <= w_in - w_out the
@@ -52,26 +51,46 @@ def roll_rows(
     the XLA fallback in compose_warp_separable relies on)."""
     B, R, W_in, C = x.shape
     assert w_out <= W_in
-    if R % rb:  # pad the row axis up to the block size
-        pad_r = rb - R % rb
-        x = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+    if x.dtype.itemsize == 2:
+        # Mosaic's dynamic rotate is 32-bit only. Channels are the minor
+        # (contiguous) axis, so packing lane PAIRS into int32 is a pure
+        # bitcast — the rolled (sublane) axis is untouched and the same
+        # starts apply. Odd channel counts pad one lane.
+        xp = x if C % 2 == 0 else jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        c2 = xp.shape[-1] // 2
+        xi = jax.lax.bitcast_convert_type(
+            xp.reshape(B, R, W_in, c2, 2), jnp.int32)
+        oi = roll_rows(xi, starts, w_out, rb=rb, interpret=interpret)
+        out = jax.lax.bitcast_convert_type(oi, x.dtype).reshape(
+            B, R, w_out, 2 * c2)
+        return out[..., :C]
+    if R % rb or W_in % 8:
+        # Mosaic's dynamic rotate requires an 8-aligned sublane (W) axis;
+        # padding W is safe because starts are clamped to W_in - w_out, so
+        # the first w_out outputs never wrap into the pad. The row axis
+        # pads up to the block size.
+        pad_r = (rb - R % rb) % rb
+        pad_w = (8 - W_in % 8) % 8
+        x = jnp.pad(x, ((0, 0), (0, pad_r), (0, pad_w), (0, 0)))
         starts = jnp.pad(starts, ((0, 0), (0, pad_r)))
         out = roll_rows(x, starts, w_out, rb=rb, interpret=interpret)
         return out[:, :R]
     starts = jnp.clip(starts.astype(jnp.int32), 0, W_in - w_out)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, R // rb),
-        in_specs=[
-            pl.BlockSpec((1, rb, W_in, C), lambda b, i, starts: (b, i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rb, w_out, C), lambda b, i, starts: (b, i, 0, 0)
-        ),
-    )
+    # starts ride as a blocked SMEM input (rb scalars per grid step) — an
+    # all-at-once scalar prefetch of B*R starts overflows SMEM at real
+    # shapes (10240 rows = 40 KB) and crashes the compiler. The (rb, 1)
+    # trailing shape satisfies the (8, 128)-divisible-or-full block rule.
+    starts = starts.reshape(B, R // rb, rb, 1)
     return pl.pallas_call(
         functools.partial(_roll_kernel, rb=rb, w_out=w_out, w_in=W_in),
-        grid_spec=grid_spec,
+        grid=(B, R // rb),
+        in_specs=[
+            pl.BlockSpec((1, R // rb, rb, 1), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rb, W_in, C), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rb, w_out, C), lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, R, w_out, C), x.dtype),
         interpret=interpret,
     )(starts, x)

@@ -351,7 +351,12 @@ def compose_warp_separable(
     padv = jnp.float32(pad_value)
 
     if roll_impl == "auto":
-        roll_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # "pallas" stays opt-in: the DMA roll kernel compiles and matches
+        # at small shapes, but at the aug step's row counts the Mosaic AOT
+        # compiler crashes (rows*rb >~ 2048) and a boundary-size variant
+        # hung the device once (see NOTES round 5) — the XLA gather roll is
+        # the proven engine at full shape.
+        roll_impl = "xla"
     if roll_impl == "pallas":
         from .pallas_roll import roll_rows as _roll
     else:
