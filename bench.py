@@ -88,6 +88,47 @@ def _sigalrm(signum, frame):
     raise SectionTimeout()
 
 
+# --- thread watchdog (round 5) --------------------------------------------
+# SIGALRM/SIGTERM handlers only run between main-thread bytecodes. A device
+# that stops responding mid-execute (observed: a deadlocked Pallas kernel
+# wedged the axon terminal for >1 h) blocks the main thread inside a C call
+# forever, so NO signal-based guard can fire and the driver's kill leaves
+# no artifact (the r2/r4 rc=124 mode, but unfixable from a handler). This
+# daemon thread is immune: when the current section overshoots its alarm by
+# a grace margin (the alarm evidently never delivered) it publishes the
+# partial row + the final merged line itself and hard-exits 0.
+_WD = {"deadline": None, "section": None}
+
+
+def _arm_thread_watchdog(section, seconds):
+    _WD["section"] = section
+    _WD["deadline"] = time.monotonic() + seconds
+
+
+def _watchdog_thread():
+    while not _FINAL["emitted"]:
+        time.sleep(5.0)
+        dl = _WD["deadline"]
+        if dl is None or time.monotonic() < dl:
+            continue
+        row = dict(_SECTION_PARTIAL)
+        row.update({"section": _WD["section"], "error": "thread_watchdog",
+                    "elapsed_s": round(time.monotonic() - _T0, 1)})
+        try:
+            emit(row)
+            _FINAL["extras"].update(_SECTION_PARTIAL)
+            if _FINAL["headline"] is None:
+                # still a syntactically complete driver line
+                _FINAL["headline"] = {
+                    "metric": "ergo12_rep_build_throughput", "value": 0,
+                    "unit": "events/sec", "vs_baseline": 0,
+                    "error": "headline never completed "
+                             "(device unresponsive)"}
+            _emit_final(reason="thread_watchdog")
+        finally:
+            os._exit(0)
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache (utils/compile_cache.py — shared with
     every CLI entry point): the expensive compiles (detector train step
@@ -186,6 +227,12 @@ def emit(obj):
 
 
 def main():
+    # Armed for the whole run: during the headline phase the deadline is
+    # the hard deadline minus an emit margin; sections re-arm it tighter.
+    import threading
+
+    _arm_thread_watchdog("headline", max(1.0, _remaining_hard() - 45.0))
+    threading.Thread(target=_watchdog_thread, daemon=True).start()
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -341,6 +388,10 @@ def main():
         watchdog = max(1.5 * est, est + 240.0)
         watchdog = max(1.0, min(watchdog, _remaining_hard() - 60.0))
         signal.setitimer(signal.ITIMER_REAL, watchdog)
+        # thread watchdog backstops the alarm: if SIGALRM can't deliver
+        # (main thread wedged in a device call) the thread publishes the
+        # partial + final artifact 30 s past the alarm and exits 0
+        _arm_thread_watchdog(name, watchdog + 30.0)
         _SECTION_PARTIAL.clear()
         try:
             res = thunk()
@@ -366,6 +417,8 @@ def main():
                   "elapsed_s": round(time.monotonic() - _T0, 1)})
         finally:
             signal.setitimer(signal.ITIMER_REAL, 0.0)
+            _arm_thread_watchdog("between_sections",
+                                 max(1.0, _remaining_hard() - 45.0))
             _SECTION_PARTIAL.clear()
 
     # LAST LINE — headline again, merged with whatever sections landed

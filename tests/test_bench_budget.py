@@ -87,3 +87,32 @@ def test_journal_error_estimate_is_lower_bound(tmp_path):
 
 def test_journal_missing_file_falls_back_empty(tmp_path):
     assert bench._journal_estimates(str(tmp_path / "nope.jsonl")) == {}
+
+
+def test_thread_watchdog_publishes_and_exits(monkeypatch, capsys):
+    """A main thread wedged in an uninterruptible device call defeats every
+    signal-based guard (handlers only run between bytecodes); the daemon
+    thread watchdog must publish the section partials + a complete final
+    line on its own and hard-exit 0."""
+    import time as _time
+
+    exits = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    monkeypatch.setattr(bench, "_FINAL",
+                        {"headline": None, "extras": {}, "emitted": False})
+    monkeypatch.setattr(bench, "_SECTION_PARTIAL", {"warm_ms": 12.5})
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench._arm_thread_watchdog("wedged_section", -1.0)  # already expired
+    bench._watchdog_thread()  # runs inline; returns after "exit"
+    assert exits == [0]
+    out = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines() if line.strip()]
+    # partial row for the wedged section, then the merged final line
+    sec = [r for r in out if r.get("section") == "wedged_section"]
+    assert sec and sec[0]["error"] == "thread_watchdog"
+    assert sec[0]["warm_ms"] == 12.5
+    final = out[-1]
+    assert final["metric"] == "ergo12_rep_build_throughput"
+    assert final["finalized_by"] == "thread_watchdog"
+    assert final["warm_ms"] == 12.5
+    assert "unit" in final and "vs_baseline" in final
