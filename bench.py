@@ -218,8 +218,11 @@ def emit(obj):
     line = json.dumps(obj)
     print(line, flush=True)
     try:  # local journal so a driver-side kill never loses a section
-        with open(os.path.join(os.path.dirname(__file__) or ".",
-                               "BENCH_SECTIONS.jsonl"), "a") as f:
+        # BENCH_JOURNAL redirects (tests point it at a tmp dir so unit
+        # tests can never pollute the repo's calibration journal)
+        path = os.environ.get("BENCH_JOURNAL") or os.path.join(
+            os.path.dirname(__file__) or ".", "BENCH_SECTIONS.jsonl")
+        with open(path, "a") as f:
             f.write(line + "\n")
     except OSError:
         pass

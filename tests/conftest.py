@@ -3,6 +3,9 @@ multi-chip sharding paths are exercised without TPU hardware (SURVEY §4)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# unit tests that exercise bench.emit must never append to the repo's
+# calibration journal (BENCH_SECTIONS.jsonl feeds the driver's budget plan)
+os.environ.setdefault("BENCH_JOURNAL", "/tmp/bench_test_journal.jsonl")
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
