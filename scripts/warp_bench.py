@@ -74,8 +74,13 @@ def main():
             fn = jax.jit(lambda im, _t=tap, _r=roll: compose_warp_separable(
                 im, plan, S, gather_dtype=jnp.bfloat16, tap_impl=_t,
                 roll_impl=_r))
-            ms = timeit(fn, x32)
-            out = np.asarray(fn(x32))
+            try:
+                ms = timeit(fn, x32)
+                out = np.asarray(fn(x32))
+            except Exception as e:  # pallas roll: known AOT crash >2048 rows*rb
+                print(f"sep  tap={tap:4s} roll={roll:6s}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+                continue
             if ref is None:
                 ref = out
             dmax = float(np.max(np.abs(out - ref)))
