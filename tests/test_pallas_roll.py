@@ -34,3 +34,21 @@ def test_roll_rows_bf16():
     got = np.asarray(roll_rows(x, s, 24, interpret=True).astype(jnp.float32))
     want = np.asarray(roll_rows_xla(x, s, 24).astype(jnp.float32))
     np.testing.assert_allclose(got, want)
+
+
+def test_roll_rows_odd_channels():
+    """16-bit inputs with an odd channel count exercise the pad-one-lane
+    branch of the int32 bitcast packing (Mosaic's rotate is 32-bit only)."""
+    import numpy as np
+
+    from event_representation_study_tpu.ops.pallas_roll import (
+        roll_rows,
+        roll_rows_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 12, 40, 11)), jnp.bfloat16)
+    s = jnp.asarray(rng.integers(0, 16, (2, 12)), jnp.int32)
+    got = np.asarray(roll_rows(x, s, 24, interpret=True), np.float32)
+    want = np.asarray(roll_rows_xla(x, s, 24), np.float32)
+    np.testing.assert_array_equal(got, want)
